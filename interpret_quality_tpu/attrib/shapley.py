@@ -1,0 +1,225 @@
+"""Region-Shapley estimation engine.
+
+The reference's hot loop runs 1000 host-synced iterations of a batch-33
+forward per cloud (final_shapley_value.py:138-151) and, in enumeration mode,
+a Python masking double-loop per batch (tools/final_common.py:46-61,86-96).
+Here each device step masks + forwards a whole chunk of permutations at once
+and scatter-adds the marginals on device; the host sees one transfer per
+pose.  The coalition axis — the (orders x rows) mega-batch — is the natural
+sharding axis over a TPU mesh.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .coalitions import (keep_matrix_from_orders, masked_coalitions,
+                         scatter_marginals)
+from .reward import reward_from_logits
+
+
+def region_id_from_fps(data: jnp.ndarray, fps_index: jnp.ndarray) -> jnp.ndarray:
+    """Assign each point to its nearest FPS centre.
+
+    Reference: final_shapley_value.py:20-35.
+
+    Args:
+      data: (N, 3) cloud.
+      fps_index: (R,) indices of region centres within `data`.
+    Returns:
+      (N,) int32 region ids.
+    """
+    centers = data[fps_index]                                # (R, 3)
+    d2 = (jnp.sum(data * data, -1, keepdims=True)
+          - 2.0 * data @ centers.T
+          + jnp.sum(centers * centers, -1)[None, :])         # (N, R)
+    return jnp.argmin(d2, axis=-1).astype(jnp.int32)
+
+
+def generate_all_orders(num_samples_save: int, num_regions: int,
+                        rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+    """Random permutations, host-side numpy (reference final_shapley_value.py:59-72).
+
+    Uses the global numpy RNG when `rng` is None so that seeding via
+    utils.rng.set_random reproduces the reference's sampling stream.
+    """
+    r = rng if rng is not None else np.random
+    orders = [r.permutation(np.arange(num_regions)).reshape(1, -1)
+              for _ in range(num_samples_save)]
+    return np.concatenate(orders, axis=0)
+
+
+class ShapleyEngine:
+    """Batched masked-coalition Shapley estimator for one frozen model.
+
+    Args:
+      forward_fn: jittable ``(B, N, 3) -> (B, num_class)`` logits function
+        (already closed over parameters).
+      num_regions: R.
+      softmax_type: reward type ("modified" | "normal").
+      batch_orders: permutations per device step (effective forward batch is
+        ``batch_orders * (R+1)``).
+      coalition_sharding: optional ``jax.sharding.NamedSharding`` for the
+        coalition axis of the masked mega-batch; when given, a sharding
+        constraint is inserted so pjit splits the forward across the mesh.
+    """
+
+    def __init__(self, forward_fn: Callable, num_regions: int,
+                 softmax_type: str = "modified", batch_orders: int = 100,
+                 coalition_sharding=None):
+        self.forward_fn = forward_fn
+        self.num_regions = num_regions
+        self.softmax_type = softmax_type
+        self.batch_orders = batch_orders
+        self.coalition_sharding = coalition_sharding
+        self._step = jax.jit(self._step_impl)
+        self._step_poses = jax.jit(self._step_poses_impl)
+
+    # ---------------------------------------------------------------- step
+    def _step_impl(self, data, center, keep, orders, region_id, label):
+        """One device step over a chunk of permutations.
+
+        Returns (region_sv_sum (R,), dv_by_region (O, R), logits (O*(R+1), C)).
+        """
+        masked = masked_coalitions(data, center, keep, region_id)
+        if self.coalition_sharding is not None:
+            masked = jax.lax.with_sharding_constraint(
+                masked, self.coalition_sharding)
+        logits = self.forward_fn(masked)
+        v = reward_from_logits(logits, label, self.softmax_type)
+        v = v.reshape(keep.shape[0], self.num_regions + 1)
+        dv = v[:, 1:] - v[:, :-1]                             # (O, R)
+        pos = jnp.argsort(orders, axis=1)
+        dv_by_region = jnp.take_along_axis(dv, pos, axis=1)   # (O, R)
+        return jnp.sum(dv_by_region, axis=0), dv_by_region, logits
+
+    def _step_poses_impl(self, data_batch, centers, keep, orders, region_id,
+                         label):
+        """One device step over (pose_chunk, order_chunk).
+
+        Args:
+          data_batch: (P, N, 3) disturbed clouds; centers: (P, 3).
+        Returns:
+          (region_sv_sum (P, R), logits (P, O*(R+1), C)).
+        """
+        P = data_batch.shape[0]
+        O = keep.shape[0]
+        masked = jax.vmap(masked_coalitions, in_axes=(0, 0, None, None))(
+            data_batch, centers, keep, region_id)         # (P, O*(R+1), N, 3)
+        flat = masked.reshape(P * O * (self.num_regions + 1),
+                              data_batch.shape[1], 3)
+        if self.coalition_sharding is not None:
+            flat = jax.lax.with_sharding_constraint(flat, self.coalition_sharding)
+        logits = self.forward_fn(flat)
+        v = reward_from_logits(logits, label, self.softmax_type)
+        v = v.reshape(P, O, self.num_regions + 1)
+        dv = v[:, :, 1:] - v[:, :, :-1]                   # (P, O, R)
+        pos = jnp.argsort(orders, axis=1)                 # (O, R)
+        dv_by_region = jnp.take_along_axis(
+            dv, jnp.broadcast_to(pos, dv.shape), axis=2)  # (P, O, R)
+        sv = jnp.sum(dv_by_region, axis=1)                # (P, R)
+        return sv, logits.reshape(P, O * (self.num_regions + 1), -1)
+
+    # ------------------------------------------------------------- public
+    def shapley_for_poses(self, data_batch, label, region_id, orders,
+                          return_logits: bool = True):
+        """Shapley values for a batch of disturbed poses of one cloud.
+
+        Args:
+          data_batch: (P, N, 3).
+          orders: (S, R) permutations (shared across poses).
+        Returns:
+          region_shap_value (P, R) float64, and optionally raw logits
+          (P, S*(R+1), C) in the reference row layout.
+        """
+        orders = np.asarray(orders)
+        S = orders.shape[0]
+        bs = min(self.batch_orders, S)
+        if S % bs != 0:
+            raise ValueError(f"num orders {S} not divisible by batch {bs}")
+        data_batch = jnp.asarray(data_batch)
+        centers = jnp.mean(data_batch, axis=1)
+        region_id = jnp.asarray(region_id)
+        label = jnp.asarray(label)
+
+        sv_sum = None
+        logits_chunks = []
+        for i in range(S // bs):
+            chunk = orders[i * bs:(i + 1) * bs]
+            keep = jnp.asarray(keep_matrix_from_orders(chunk))
+            sv, logits = self._step_poses(
+                data_batch, centers, keep, jnp.asarray(chunk), region_id, label)
+            sv_sum = sv if sv_sum is None else sv_sum + sv
+            if return_logits:
+                logits_chunks.append(np.asarray(logits))
+
+        region_shap_value = np.asarray(sv_sum, dtype=np.float64) / S
+        if return_logits:
+            return region_shap_value, np.concatenate(logits_chunks, axis=1)
+        return region_shap_value
+
+    def shapley_for_pose(self, data, label, region_id, orders,
+                         return_logits: bool = False,
+                         return_per_order: bool = False):
+        """Shapley values of all regions for one (possibly disturbed) cloud.
+
+        Args:
+          data: (N, 3) array.
+          label: scalar int.
+          region_id: (N,) int.
+          orders: (S, R) permutations to average over.
+        Returns:
+          region_shap_value (R,) float64 numpy — mean marginal per region —
+          plus optional raw logits (S*(R+1), C) and per-order contributions
+          (S, R), both in the reference's row layout.
+        """
+        orders = np.asarray(orders)
+        S = orders.shape[0]
+        bs = min(self.batch_orders, S)
+        if S % bs != 0:
+            raise ValueError(f"num orders {S} not divisible by batch {bs}")
+        data = jnp.asarray(data)
+        center = jnp.mean(data, axis=0)
+        region_id = jnp.asarray(region_id)
+        label = jnp.asarray(label)
+
+        sv_sum = None
+        logits_chunks = []
+        per_order_chunks = []
+        for i in range(S // bs):
+            chunk = orders[i * bs:(i + 1) * bs]
+            keep = jnp.asarray(keep_matrix_from_orders(chunk))
+            sv, dv_by_region, logits = self._step(
+                data, center, keep, jnp.asarray(chunk), region_id, label)
+            sv_sum = sv if sv_sum is None else sv_sum + sv
+            if return_logits:
+                logits_chunks.append(logits)
+            if return_per_order:
+                per_order_chunks.append(dv_by_region)
+
+        region_shap_value = np.asarray(sv_sum, dtype=np.float64) / S
+        out = [region_shap_value]
+        if return_logits:
+            out.append(np.concatenate([np.asarray(c) for c in logits_chunks], 0))
+        if return_per_order:
+            out.append(np.concatenate([np.asarray(c) for c in per_order_chunks], 0))
+        return tuple(out) if len(out) > 1 else out[0]
+
+
+def norm_factor(forward_fn: Callable, data: jnp.ndarray, label,
+                softmax_type: str = "modified") -> float:
+    """v(N) - v(empty): reward of the full cloud minus the all-centre cloud.
+
+    Reference: final_shapley_value.py:39-56.
+    """
+    data = jnp.asarray(data)
+    center = jnp.mean(data, axis=0)
+    empty = jnp.broadcast_to(center, data.shape)
+    batch = jnp.stack([data, empty])                        # (2, N, 3)
+    logits = forward_fn(batch)
+    v = reward_from_logits(logits, jnp.asarray(label), softmax_type)
+    return float(v[0] - v[1])

@@ -1,0 +1,174 @@
+"""Pipeline stages: FPS partition, Shapley initialisation, perturbation
+enumeration.  Each stage writes the reference artifact schema
+(SURVEY.md §1) under ``cfg.exp_folder``.
+
+Reference call stacks replaced here:
+  * final_save_fps.py:34-54         -> save_fps
+  * final_shapley_value.py:110-156  -> run_shapley_init
+  * tools/final_common.py:107-174   -> run_enum (trans/rotate/scale drivers)
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..ops.geometry import farthest_point_sample
+from ..pipeline import load_frozen_model, make_engine, resolve_dataset
+from ..utils.io import IOStream, mkdir, save_npy, save_torch_tensor
+from ..utils.rng import set_random
+from .perturbations import MODES
+from .shapley import generate_all_orders, norm_factor, region_id_from_fps
+
+SNAPSHOT_COUNTS = [100, 200, 300, 400, 500, 600, 700, 800, 900, 1000,
+                   2000, 3000, 4000, 5000]
+
+
+# ---------------------------------------------------------------------------
+# FPS region partition
+# ---------------------------------------------------------------------------
+def save_fps(cfg: ExperimentConfig, synthetic: bool = False,
+             out_path: Optional[str] = None) -> np.ndarray:
+    """FPS indices of the 32 region centres for all 30 eval clouds."""
+    dataset, _ = resolve_dataset(cfg, synthetic)
+    clouds = np.stack([dataset[i][0] for i in range(len(dataset))])  # (30,N,3)
+    fps_index = np.asarray(farthest_point_sample(jnp.asarray(clouds),
+                                                 cfg.num_regions))
+    path = out_path or cfg.fps_index_path()
+    save_npy(path, fps_index)
+    return fps_index
+
+
+# ---------------------------------------------------------------------------
+# Shapley initialisation
+# ---------------------------------------------------------------------------
+def run_shapley_init(cfg: ExperimentConfig, synthetic: bool = False,
+                     allow_random_init: bool = False,
+                     coalition_sharding=None,
+                     sample_indices: Optional[list] = None):
+    """Per eval cloud: region ids, norm factor, saved permutations, the
+    1000-sample Shapley estimate with convergence snapshots, and the raw
+    per-order estimates (region_sv_all.npy)."""
+    set_random(cfg.seed)
+    dataset, names = resolve_dataset(cfg, synthetic)
+    _, _, forward = load_frozen_model(cfg, allow_random_init)
+    engine = make_engine(cfg, forward, coalition_sharding)
+
+    fps_path = cfg.fps_index_path()
+    if not os.path.exists(fps_path):
+        save_fps(cfg, synthetic, fps_path)
+    fps_indices = np.load(fps_path)
+
+    indices = sample_indices if sample_indices is not None else range(len(dataset))
+    for i in indices:
+        data, lbl = dataset[i]
+        result_path = cfg.exp_folder + f"{names[i]}/"
+        mkdir(result_path)
+
+        region_id = np.asarray(region_id_from_fps(
+            jnp.asarray(data), jnp.asarray(fps_indices[i])))
+        save_npy(result_path + "region_id.npy", region_id)
+
+        nf = norm_factor(forward, data, lbl, cfg.softmax_type)
+        save_npy(result_path + "norm_factor.npy", nf)
+
+        all_orders = generate_all_orders(cfg.num_samples_save, cfg.num_regions)
+        save_npy(result_path + "all_orders.npy", all_orders)
+
+        t0 = time.time()
+        _, per_order = engine.shapley_for_pose(
+            data, lbl, region_id, all_orders, return_per_order=True)
+        # per_order: (num_samples_save, R) single-order estimates
+        save_npy(result_path + "region_sv_all.npy", per_order)
+
+        cumsum = np.cumsum(per_order, axis=0)          # (S, R)
+        for count in SNAPSHOT_COUNTS:
+            if count > cfg.num_samples_save:
+                break
+            _save_snapshot(cumsum[count - 1], i, count, result_path,
+                           region_id, cfg)
+        print(f"[shapley_init] {names[i]}: {cfg.num_samples_save} orders in "
+              f"{time.time() - t0:.2f}s")
+
+
+def _save_snapshot(region_sv_sum, pc_idx, count, result_path, region_id, cfg):
+    """Per-point and per-region snapshots (reference final_shapley_value.py:91-106)."""
+    folder = result_path + "shapley/"
+    folder2 = result_path + "region_shapley/"
+    mkdir(folder)
+    mkdir(folder2)
+    region_avg = region_sv_sum / count
+    shap_value = region_avg[np.asarray(region_id)]     # (N,) scatter to points
+    save_npy(folder + f"{pc_idx}_{count}.npy", shap_value)
+    save_npy(folder2 + f"{pc_idx}_{count}.npy", region_avg)
+
+
+# ---------------------------------------------------------------------------
+# Perturbation enumeration (trans / rotate / scale)
+# ---------------------------------------------------------------------------
+def run_enum(cfg: ExperimentConfig, mode_name: str, synthetic: bool = False,
+             allow_random_init: bool = False, pose_chunk: int = 1,
+             coalition_sharding=None, save_logits: bool = True,
+             sample_indices: Optional[list] = None):
+    """Recompute Shapley values at every pose of a perturbation grid."""
+    set_random(cfg.seed)
+    mode = MODES[mode_name]
+    dataset, names = resolve_dataset(cfg, synthetic)
+    _, _, forward = load_frozen_model(cfg, allow_random_init)
+    engine = make_engine(cfg, forward, coalition_sharding)
+
+    all_params = mode.generate_params()                 # (P, 3) or (P,)
+    disturb_batch = jax.jit(jax.vmap(mode.disturb_fn, in_axes=(None, 0)))
+
+    indices = sample_indices if sample_indices is not None else range(len(dataset))
+    for pc_index in indices:
+        data, lbl = dataset[pc_index]
+        base_folder = cfg.exp_folder + f"{names[pc_index]}/"
+        mode_folder = base_folder + f"{mode_name}_all/"
+        mkdir(mode_folder)
+        io = IOStream(mode_folder + "log.txt")
+        io.cprint(str(cfg))
+
+        nf = np.load(base_folder + "norm_factor.npy")
+        io.cprint("norm factor: %f" % nf)
+        region_id = np.load(base_folder + "region_id.npy")
+        load_order_list = np.load(base_folder + "all_orders.npy")
+        orders = load_order_list[:cfg.num_samples]
+
+        t0 = time.time()
+        orig_sv = engine.shapley_for_pose(data, lbl, region_id, orders)
+        io.cprint("origin region shapley: %s" % str(orig_sv))
+        save_npy(mode_folder + "orig_shapley_value.npy", orig_sv)
+
+        P = all_params.shape[0]
+        sv_list, logits_list = [], []
+        data_j = jnp.asarray(data)
+        for start in range(0, P, pose_chunk):
+            params_chunk = jnp.asarray(all_params[start:start + pose_chunk])
+            data_disturb = disturb_batch(data_j, params_chunk)   # (Pc, N, 3)
+            if save_logits:
+                sv, logits = engine.shapley_for_poses(
+                    data_disturb, lbl, region_id, orders, return_logits=True)
+                logits_list.append(logits)
+            else:
+                sv = engine.shapley_for_poses(
+                    data_disturb, lbl, region_id, orders, return_logits=False)
+            sv_list.append(sv)
+            for k in range(sv.shape[0]):
+                io.cprint("pose %d %s: shapley %s"
+                          % (start + k, str(np.asarray(all_params[start + k])),
+                             str(sv[k])))
+
+        region_shapley_list = np.concatenate(sv_list, axis=0)    # (P, R)
+        save_npy(mode_folder + "region_shapley_value.npy", region_shapley_list)
+        if save_logits:
+            all_logits = np.concatenate(logits_list, axis=0)     # (P, S*(R+1), C)
+            save_torch_tensor(mode_folder + "all_logits.pt", all_logits)
+        mode.save_info(all_params, mode_folder)
+        io.cprint("time: %f" % (time.time() - t0))
+        io.close()

@@ -1,0 +1,286 @@
+"""Datasets: deterministic 30-sample Shapley evaluation sets, training sets
+with augmentations, and a synthetic fallback for tests/benchmarks.
+
+The eval loaders reproduce reference final_data_shapley.py semantics:
+ModelNet takes the *first* 1024 points of each .npy shape (:63); ShapeNet
+centres + unit-sphere normalises each .pts cloud and resamples 1024 points
+via numpy FPS with the first point fixed (:71-92,149-176).
+
+No torch DataLoader: batching is plain numpy on the host (the clouds are
+tiny — 12 KB each), and the device consumes whole batches.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import (DATA_MODELNET_SHAPLEY_TEST, DATA_SHAPENET_SHAPLEY_TEST,
+                      SHAPENET_CLASS, SHAPENET_ID2CAT)
+from . import augment
+
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+MISC_DIR = os.path.join(_PKG_ROOT, "misc")
+
+MODELNET10_SHAPES = ["bathtub", "bed", "chair", "desk", "dresser",
+                     "monitor", "night_stand", "sofa", "table", "toilet"]
+
+
+def farthest_point_sample_np(point: np.ndarray, npoint: int) -> np.ndarray:
+    """Numpy FPS with the first point fixed at 0 (reference
+    final_data_shapley.py:71-92)."""
+    N = point.shape[0]
+    xyz = point[:, :3]
+    centroids = np.zeros((npoint,), dtype=np.int64)
+    distance = np.ones((N,)) * 1e10
+    farthest = 0
+    for i in range(npoint):
+        centroids[i] = farthest
+        dist = np.sum((xyz - xyz[farthest, :]) ** 2, -1)
+        mask = dist < distance
+        distance[mask] = dist[mask]
+        farthest = int(np.argmax(distance, -1))
+    return centroids
+
+
+def _read_modelnet_names(misc_dir: str = MISC_DIR) -> List[str]:
+    with open(os.path.join(misc_dir, DATA_MODELNET_SHAPLEY_TEST)) as f:
+        return [line.rstrip() for line in f.readlines()]
+
+
+def _read_shapenet_selected(misc_dir: str = MISC_DIR) -> List[Tuple[str, str]]:
+    with open(os.path.join(misc_dir, DATA_SHAPENET_SHAPLEY_TEST)) as f:
+        filelist = json.load(f)
+    out = []
+    for file in filelist:
+        _, category, uuid = file.split("/")
+        out.append((category, uuid))
+    return out
+
+
+def get_folder_name_list(dataset: str, misc_dir: str = MISC_DIR) -> List[str]:
+    """Artifact folder names per eval sample (reference final_util.py:265-283)."""
+    if dataset == "modelnet10":
+        return _read_modelnet_names(misc_dir)
+    elif dataset == "shapenet":
+        return [SHAPENET_ID2CAT[cat] + "_" + uuid
+                for cat, uuid in _read_shapenet_selected(misc_dir)]
+    raise ValueError(f"dataset {dataset!r} does not exist")
+
+
+# ---------------------------------------------------------------------------
+# Shapley evaluation sets (deterministic, 30 samples)
+# ---------------------------------------------------------------------------
+class ModelNetShapleyEval:
+    """The 30 selected ModelNet10 training shapes, first `num_points` points."""
+
+    def __init__(self, data_root: str = "./data", num_points: int = 1024,
+                 misc_dir: str = MISC_DIR):
+        self.data_dir = os.path.join(data_root, "modelnet10_numpy")
+        self.num_points = num_points
+        names = _read_modelnet_names(misc_dir)
+        self.items = []
+        for name in names:
+            folder = name[0:-5]
+            label = MODELNET10_SHAPES.index(folder)
+            self.items.append((os.path.join(self.data_dir, folder, name + ".npy"),
+                               label))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, index) -> Tuple[np.ndarray, int]:
+        path, label = self.items[index]
+        data = np.load(path)
+        pc = data[0:self.num_points, 0:3].astype(np.float32)
+        return pc, label
+
+
+class ShapeNetShapleyEval:
+    """The 30 selected ShapeNet-Part shapes, centred, unit-sphere normalised
+    and FPS-resampled to `num_points` points."""
+
+    def __init__(self, data_root: str = "./data", num_points: int = 1024,
+                 misc_dir: str = MISC_DIR,
+                 class_choice: Sequence[str] = tuple(SHAPENET_CLASS)):
+        self.root = os.path.join(data_root,
+                                 "shapenetcore_partanno_segmentation_benchmark_v0")
+        self.num_points = num_points
+        classes = dict(zip(sorted(class_choice), range(len(class_choice))))
+        self.items = []
+        for cat_id, uuid in _read_shapenet_selected(misc_dir):
+            cat_name = SHAPENET_ID2CAT[cat_id]
+            if cat_name not in classes:
+                continue
+            self.items.append((os.path.join(self.root, cat_id, "points",
+                                            uuid + ".pts"),
+                               classes[cat_name]))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, index) -> Tuple[np.ndarray, int]:
+        path, label = self.items[index]
+        point_set = np.loadtxt(path).astype(np.float32)
+        point_set = point_set - point_set.mean(axis=0, keepdims=True)
+        dist = np.max(np.sqrt(np.sum(point_set ** 2, axis=1)))
+        point_set = point_set / dist
+        choice = farthest_point_sample_np(point_set, self.num_points)
+        return point_set[choice, :].astype(np.float32), label
+
+
+def make_eval_dataset(dataset: str, data_root: str = "./data",
+                      num_points: int = 1024, misc_dir: str = MISC_DIR):
+    if dataset == "modelnet10":
+        return ModelNetShapleyEval(data_root, num_points, misc_dir)
+    elif dataset == "shapenet":
+        return ShapeNetShapleyEval(data_root, num_points, misc_dir)
+    raise ValueError(f"dataset {dataset!r} does not exist")
+
+
+# ---------------------------------------------------------------------------
+# Training sets
+# ---------------------------------------------------------------------------
+class _TrainBase:
+    """Shuffled mini-batch iterator over (cloud, label) items."""
+
+    items: list
+    num_points: int
+    train: bool
+    drop_point: bool = False
+    rot_y: bool = False
+    rot_all: bool = False
+
+    def _load(self, index) -> Tuple[np.ndarray, int]:
+        raise NotImplementedError
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, index):
+        pc, label = self._load(index)
+        if self.train:
+            pc = augment.translate_pointcloud(pc)
+            if self.drop_point:
+                pc = augment.random_dropout_pointcloud(pc)
+            if self.rot_y:
+                pc = augment.rotate_point_cloud_y(pc)
+            if self.rot_all:
+                pc = augment.rotate_perturbation_point_cloud(pc)
+        return pc.astype(np.float32), label
+
+    def batches(self, batch_size: int, shuffle: bool = True,
+                rng: Optional[np.random.RandomState] = None
+                ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        idx = np.arange(len(self))
+        if shuffle:
+            (rng if rng is not None else np.random).shuffle(idx)
+        for i in range(0, len(idx), batch_size):
+            chunk = idx[i:i + batch_size]
+            data = np.stack([self[j][0] for j in chunk])
+            labels = np.array([self[j][1] for j in chunk], np.int32)
+            yield data, labels
+
+
+class ModelNetTrain(_TrainBase):
+    def __init__(self, data_root="./data", num_points=1024, partition="train",
+                 drop_point=False, rot_y=False, rot_all=False):
+        self.data_dir = os.path.join(data_root, "modelnet10_numpy")
+        self.num_points = num_points
+        self.train = partition == "train"
+        self.drop_point, self.rot_y, self.rot_all = drop_point, rot_y, rot_all
+        with open(os.path.join(self.data_dir, f"modelnet10_{partition}.txt")) as f:
+            names = [line.rstrip() for line in f.readlines()]
+        self.items = []
+        for name in names:
+            folder = name[0:-5]
+            label = MODELNET10_SHAPES.index(folder)
+            self.items.append((os.path.join(self.data_dir, folder, name + ".npy"),
+                               label))
+
+    def _load(self, index):
+        path, label = self.items[index]
+        data = np.load(path)
+        sel = np.random.choice(data.shape[0], self.num_points, replace=False)
+        return data[sel, 0:3].astype(np.float32), label
+
+
+class ShapeNetTrain(_TrainBase):
+    def __init__(self, data_root="./data", num_points=1024, split="train",
+                 class_choice=tuple(SHAPENET_CLASS),
+                 drop_point=False, rot_y=False, rot_all=False):
+        self.root = os.path.join(data_root,
+                                 "shapenetcore_partanno_segmentation_benchmark_v0")
+        self.num_points = num_points
+        self.train = split == "train"
+        self.drop_point, self.rot_y, self.rot_all = drop_point, rot_y, rot_all
+        classes = dict(zip(sorted(class_choice), range(len(class_choice))))
+        id2cat = SHAPENET_ID2CAT
+        splitfile = os.path.join(self.root, "train_test_split",
+                                 f"shuffled_{split}_file_list.json")
+        with open(splitfile) as f:
+            filelist = json.load(f)
+        self.items = []
+        for file in filelist:
+            _, cat, uuid = file.split("/")
+            cat_name = id2cat.get(cat)
+            if cat_name in classes:
+                self.items.append((os.path.join(self.root, cat, "points",
+                                                uuid + ".pts"),
+                                   classes[cat_name]))
+
+    def _load(self, index):
+        path, label = self.items[index]
+        point_set = np.loadtxt(path).astype(np.float32)
+        point_set = point_set - point_set.mean(axis=0, keepdims=True)
+        dist = np.max(np.sqrt(np.sum(point_set ** 2, axis=1)))
+        point_set = point_set / dist
+        choice = np.random.choice(point_set.shape[0], self.num_points,
+                                  replace=True)
+        return point_set[choice, :].astype(np.float32), label
+
+
+# ---------------------------------------------------------------------------
+# Synthetic fallback (tests / benchmarks without the real datasets)
+# ---------------------------------------------------------------------------
+class SyntheticClouds(_TrainBase):
+    """Deterministic parametric shapes (sphere/box/cylinder/... per class),
+    unit-sphere normalised — lets every pipeline stage run end-to-end when
+    the ModelNet/ShapeNet files are not on disk."""
+
+    def __init__(self, num_samples=30, num_points=1024, num_classes=10,
+                 seed=0, train=False):
+        self.num_points = num_points
+        self.train = train
+        self.num_classes = num_classes
+        rng = np.random.RandomState(seed)
+        self.items = [(i, int(rng.randint(num_classes)))
+                      for i in range(num_samples)]
+        self._seed = seed
+
+    def _shape(self, kind: int, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        if kind % 3 == 0:       # sphere-ish
+            theta, phi = u * np.pi, v * 2 * np.pi
+            r = 1.0 + 0.1 * np.sin(5 * phi)
+            return np.stack([r * np.sin(theta) * np.cos(phi),
+                             r * np.sin(theta) * np.sin(phi),
+                             r * np.cos(theta)], -1)
+        if kind % 3 == 1:       # box surface
+            w = np.stack([u * 2 - 1, v * 2 - 1, np.sign(u * v - 0.25)], -1)
+            return w
+        # cylinder
+        phi = v * 2 * np.pi
+        return np.stack([np.cos(phi), np.sin(phi), u * 2 - 1], -1)
+
+    def _load(self, index):
+        idx, label = self.items[index]
+        rng = np.random.RandomState(self._seed * 10007 + idx)
+        u = rng.rand(self.num_points)
+        v = rng.rand(self.num_points)
+        pc = self._shape(label, u, v).astype(np.float32)
+        pc += 0.02 * rng.randn(self.num_points, 3).astype(np.float32)
+        pc -= pc.mean(axis=0, keepdims=True)
+        pc /= np.max(np.sqrt((pc ** 2).sum(-1)))
+        return pc.astype(np.float32), label

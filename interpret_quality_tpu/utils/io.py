@@ -1,0 +1,54 @@
+"""Logging and artifact IO.
+
+The artifact *schema* (file names, folder layout, .pt logits tensors) is the
+reference pipeline's de-facto persistence API (SURVEY.md §1); we preserve it
+so the results aggregator and plotting stages consume either implementation's
+outputs interchangeably.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+class IOStream:
+    """Tee logger (reference tools/final_util.py:90-100)."""
+
+    def __init__(self, path: str):
+        self.f = open(path, "a")
+
+    def cprint(self, text: str):
+        print(text)
+        self.f.write(text + "\n")
+        self.f.flush()
+
+    def close(self):
+        self.f.close()
+
+
+def mkdir(path: str):
+    os.makedirs(path, exist_ok=True)
+
+
+def save_npy(path: str, arr):
+    np.save(path, np.asarray(arr))
+
+
+def load_npy(path: str):
+    return np.load(path)
+
+
+def save_torch_tensor(path: str, arr):
+    """Save a numpy array as a torch tensor .pt file for byte compatibility
+    with the reference's `torch.save(all_logits, ...)` artifacts
+    (tools/final_common.py:170).  Torch (CPU) is an IO dependency only —
+    no compute runs through it.
+    """
+    import torch
+    torch.save(torch.from_numpy(np.asarray(arr)), path)
+
+
+def load_torch_tensor(path: str):
+    import torch
+    return torch.load(path, map_location="cpu").numpy()

@@ -1,0 +1,196 @@
+"""Tests for coalition masking and the Shapley engine.
+
+The mask oracle re-derives the reference's loop semantics
+(final_shapley_value.py:74-88); the Shapley engine is validated against an
+additive value function whose exact Shapley values are known in closed form.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from interpret_quality_tpu.attrib import (
+    keep_matrix_from_orders, masked_coalitions, interaction_masks,
+    masked_interaction_batch, ShapleyEngine, region_id_from_fps,
+    norm_factor, reward_from_logits,
+)
+
+
+def oracle_mask(data, center, order, region_id):
+    """Loop oracle: row r masks regions order[r:] to the centre."""
+    R = len(order)
+    out = np.tile(data[None], (R + 1, 1, 1))
+    for j in range(1, R + 1):
+        mask_region = order[j - 1]
+        out[:j, region_id == mask_region, :] = center
+    return out
+
+
+def test_keep_matrix_matches_loop_oracle():
+    rng = np.random.RandomState(0)
+    N, R, O = 50, 8, 5
+    data = rng.randn(N, 3).astype(np.float32)
+    center = data.mean(0)
+    region_id = rng.randint(0, R, size=N)
+    orders = np.stack([rng.permutation(R) for _ in range(O)])
+
+    keep = keep_matrix_from_orders(orders)
+    got = np.asarray(masked_coalitions(
+        jnp.array(data), jnp.array(center), jnp.array(keep), jnp.array(region_id)))
+    got = got.reshape(O, R + 1, N, 3)
+    for o in range(O):
+        want = oracle_mask(data, center, orders[o], region_id)
+        np.testing.assert_allclose(got[o], want, atol=1e-6)
+
+
+def test_keep_matrix_rows():
+    orders = np.array([[2, 0, 1]])
+    keep = keep_matrix_from_orders(orders)[0]  # (4, 3)
+    # row 0: empty coalition; row 3: full coalition
+    assert not keep[0].any()
+    assert keep[3].all()
+    # row 1 keeps order[0]=2 only
+    np.testing.assert_array_equal(keep[1], [False, False, True])
+    # row 2 keeps {2, 0}
+    np.testing.assert_array_equal(keep[2], [True, False, True])
+
+
+def test_interaction_masks_rows():
+    R = 6
+    ctx = np.zeros((2, R), bool)
+    ctx[0, [3, 4]] = True          # S = {3,4}
+    rows = np.asarray(interaction_masks(jnp.array(ctx), 0, 1))
+    # context 0: S∪{i,j}, S∪{i}, S∪{j}, S
+    np.testing.assert_array_equal(rows[0, 0], [1, 1, 0, 1, 1, 0])
+    np.testing.assert_array_equal(rows[0, 1], [1, 0, 0, 1, 1, 0])
+    np.testing.assert_array_equal(rows[0, 2], [0, 1, 0, 1, 1, 0])
+    np.testing.assert_array_equal(rows[0, 3], [0, 0, 0, 1, 1, 0])
+    # empty context
+    np.testing.assert_array_equal(rows[1, 3], [0] * R)
+
+
+def test_masked_interaction_batch_values():
+    rng = np.random.RandomState(1)
+    N, R = 20, 4
+    data = rng.randn(N, 3).astype(np.float32)
+    center = data.mean(0)
+    region_id = rng.randint(0, R, size=N)
+    ctx = np.zeros((1, R), bool)
+    rows = interaction_masks(jnp.array(ctx), 2, 3)
+    out = np.asarray(masked_interaction_batch(
+        jnp.array(data), jnp.array(center), rows, jnp.array(region_id)))
+    # row 3 (S empty): everything collapses to centre
+    np.testing.assert_allclose(out[3], np.tile(center, (N, 1)), atol=1e-6)
+    # row 0: regions 2,3 kept, others centred
+    kept = np.isin(region_id, [2, 3])
+    np.testing.assert_allclose(out[0][kept], data[kept], atol=1e-6)
+    np.testing.assert_allclose(out[0][~kept], np.tile(center, ((~kept).sum(), 1)), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Shapley engine against an analytically-known value function
+# ---------------------------------------------------------------------------
+def make_additive_forward(region_id, weights, center, num_class=4, label=1):
+    """Forward whose reward is additive over regions.
+
+    logit[label] = sum_j w_j * frac_of_region_j_points_away_from_centre;
+    the reward (any monotone per-logit map) then has exact Shapley values
+    phi_j = w_j for every permutation, so sampling noise is zero.
+    """
+    region_id = jnp.asarray(region_id)
+    weights = jnp.asarray(weights)
+    center = jnp.asarray(center)
+    R = weights.shape[0]
+
+    def forward(x):                                    # (B, N, 3)
+        away = jnp.any(jnp.abs(x - center) > 1e-6, axis=-1).astype(jnp.float32)
+        onehot = jax.nn.one_hot(region_id, R)          # (N, R)
+        counts = jnp.sum(onehot, axis=0)               # (R,)
+        frac = (away @ onehot) / counts                # (B, R) fraction unmasked
+        score = frac @ weights                         # (B,)
+        logits = jnp.zeros((x.shape[0], num_class))
+        return logits.at[:, label].set(score)
+    return forward
+
+
+def _setup_additive(seed=0, N=64, R=6):
+    rng = np.random.RandomState(seed)
+    data = rng.randn(N, 3).astype(np.float32) + 5.0     # keep away from centre
+    region_id = rng.randint(0, R, size=N)
+    # ensure every region non-empty
+    region_id[:R] = np.arange(R)
+    weights = rng.rand(R).astype(np.float32)
+    center = data.mean(0)
+    return data, region_id, weights, center
+
+
+def test_shapley_exact_for_additive_model():
+    data, region_id, weights, center = _setup_additive()
+    R = len(weights)
+    label = 1
+    fwd = make_additive_forward(region_id, weights, center, label=label)
+    eng = ShapleyEngine(fwd, num_regions=R, softmax_type="normal",
+                        batch_orders=5)
+    rng = np.random.RandomState(3)
+    orders = np.stack([rng.permutation(R) for _ in range(10)])
+    sv = eng.shapley_for_pose(data, label, region_id, orders)
+
+    # reward = log_softmax at label; v(S) - v(S') telescopes exactly because
+    # the map logit->reward is deterministic per total score... it is NOT
+    # linear, so instead check the efficiency axiom which holds regardless:
+    nf = norm_factor(fwd, data, label, "normal")
+    assert abs(sv.sum() - nf) < 1e-4
+
+
+def test_shapley_linear_reward_recovers_weights():
+    """With softmax_type bypassed by a 2-logit symmetric construction the
+    modified reward is linear in the score, making phi_j = w_j exactly."""
+    data, region_id, weights, center = _setup_additive(seed=1)
+    R = len(weights)
+    label = 0
+    region_id_j = jnp.asarray(region_id)
+    weights_j = jnp.asarray(weights)
+    center_j = jnp.asarray(center)
+
+    def forward(x):
+        away = jnp.any(jnp.abs(x - center_j) > 1e-6, axis=-1).astype(jnp.float32)
+        onehot = jax.nn.one_hot(region_id_j, R)
+        counts = jnp.sum(onehot, axis=0)
+        frac = (away @ onehot) / counts
+        score = frac @ weights_j
+        # logits [score, 0]: modified reward = score - 0 = score (linear!)
+        return jnp.stack([score, jnp.zeros_like(score)], axis=-1)
+
+    eng = ShapleyEngine(forward, num_regions=R, softmax_type="modified",
+                        batch_orders=4)
+    rng = np.random.RandomState(4)
+    orders = np.stack([rng.permutation(R) for _ in range(8)])
+    sv, logits, per_order = eng.shapley_for_pose(
+        data, label, region_id, orders, return_logits=True,
+        return_per_order=True)
+    np.testing.assert_allclose(sv, weights, atol=1e-4)
+    # every single order also recovers the weights (additivity)
+    np.testing.assert_allclose(per_order, np.tile(weights, (8, 1)), atol=1e-4)
+    assert logits.shape == (8 * (R + 1), 2)
+
+
+def test_reward_modified_vs_normal():
+    logits = jnp.array([[2.0, 1.0, -1.0], [0.0, 0.0, 0.0]])
+    label = jnp.array(0)
+    normal = np.asarray(reward_from_logits(logits, label, "normal"))
+    modified = np.asarray(reward_from_logits(logits, label, "modified"))
+    # oracle
+    l = np.asarray(logits)
+    want_norm = l[:, 0] - np.log(np.exp(l).sum(-1))
+    want_mod = l[:, 0] - np.log(np.exp(l[:, 1:]).sum(-1))
+    np.testing.assert_allclose(normal, want_norm, atol=3e-4)
+    np.testing.assert_allclose(modified, want_mod, atol=3e-4)
+
+
+def test_region_id_from_fps():
+    rng = np.random.RandomState(5)
+    data = rng.randn(40, 3).astype(np.float32)
+    fps_index = np.array([0, 10, 20, 30])
+    rid = np.asarray(region_id_from_fps(jnp.array(data), jnp.array(fps_index)))
+    centers = data[fps_index]
+    want = np.argmin(((data[:, None] - centers[None]) ** 2).sum(-1), axis=1)
+    np.testing.assert_array_equal(rid, want)

@@ -1,0 +1,129 @@
+"""Unit tests for geometry ops against tiny numpy oracles.
+
+Oracle implementations follow the documented semantics of the reference ops
+(first-point-fixed FPS, sort-and-clamp ball query) re-derived here by hand.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from interpret_quality_tpu.ops import (
+    square_distance, index_points, farthest_point_sample,
+    query_ball_point, knn, knn_point, compute_density,
+)
+
+
+def np_sqdist(a, b):
+    return ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+
+
+def test_square_distance_matches_numpy():
+    rng = np.random.RandomState(0)
+    a = rng.randn(2, 17, 3).astype(np.float32)
+    b = rng.randn(2, 9, 3).astype(np.float32)
+    got = np.asarray(square_distance(jnp.array(a), jnp.array(b)))
+    want = np.stack([np_sqdist(a[i], b[i]) for i in range(2)])
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_index_points_gathers():
+    rng = np.random.RandomState(1)
+    pts = rng.randn(2, 10, 3).astype(np.float32)
+    idx = rng.randint(0, 10, size=(2, 4, 5))
+    got = np.asarray(index_points(jnp.array(pts), jnp.array(idx)))
+    for b in range(2):
+        np.testing.assert_array_equal(got[b], pts[b][idx[b]])
+
+
+def np_fps(xyz, npoint):
+    """First-point-fixed FPS oracle (semantics of reference pointnet2.py:45-68)."""
+    N = xyz.shape[0]
+    centroids = np.zeros(npoint, np.int64)
+    distance = np.full(N, 1e10)
+    farthest = 0
+    for i in range(npoint):
+        centroids[i] = farthest
+        dist = ((xyz - xyz[farthest]) ** 2).sum(-1)
+        distance = np.minimum(distance, dist)
+        farthest = int(np.argmax(distance))
+    return centroids
+
+
+def test_fps_matches_oracle():
+    rng = np.random.RandomState(2)
+    xyz = rng.randn(3, 64, 3).astype(np.float32)
+    got = np.asarray(farthest_point_sample(jnp.array(xyz), 8))
+    for b in range(3):
+        np.testing.assert_array_equal(got[b], np_fps(xyz[b], 8))
+
+
+def test_fps_first_point_is_zero():
+    rng = np.random.RandomState(3)
+    xyz = rng.randn(2, 32, 3).astype(np.float32)
+    idx = np.asarray(farthest_point_sample(jnp.array(xyz), 4))
+    assert (idx[:, 0] == 0).all()
+
+
+def np_ball_query(radius, K, xyz, new_xyz):
+    """Sort-and-clamp oracle (semantics of reference pointnet2.py:70-91)."""
+    N = xyz.shape[0]
+    S = new_xyz.shape[0]
+    d = np_sqdist(new_xyz, xyz)
+    gi = np.tile(np.arange(N), (S, 1))
+    gi[d > radius ** 2] = N
+    gi = np.sort(gi, axis=-1)[:, :K]
+    first = np.tile(gi[:, :1], (1, K))
+    gi[gi == N] = first[gi == N]
+    return gi
+
+
+def test_ball_query_matches_oracle():
+    rng = np.random.RandomState(4)
+    xyz = rng.rand(2, 40, 3).astype(np.float32)
+    new_xyz = xyz[:, :6]
+    got = np.asarray(query_ball_point(0.3, 8, jnp.array(xyz), jnp.array(new_xyz)))
+    for b in range(2):
+        np.testing.assert_array_equal(got[b], np_ball_query(0.3, 8, xyz[b], new_xyz[b]))
+
+
+def test_ball_query_centre_included():
+    # every query centre is a cloud point, so slot 0 is the centre itself
+    rng = np.random.RandomState(5)
+    xyz = rng.rand(1, 30, 3).astype(np.float32)
+    got = np.asarray(query_ball_point(0.2, 4, jnp.array(xyz), jnp.array(xyz[:, :5])))
+    np.testing.assert_array_equal(got[0, :, 0], np.arange(5))
+
+
+def test_knn_smallest_distances():
+    rng = np.random.RandomState(6)
+    x = rng.randn(2, 25, 3).astype(np.float32)
+    k = 5
+    idx = np.asarray(knn(jnp.array(x), k))
+    for b in range(2):
+        d = np_sqdist(x[b], x[b])
+        for n in range(25):
+            want = set(np.sort(np.argsort(d[n])[:k]))
+            assert set(idx[b, n]) == want
+    # self is always the nearest neighbour
+    assert (idx[:, :, 0] == np.arange(25)).all()
+
+
+def test_knn_point_matches_sorted_sets():
+    rng = np.random.RandomState(7)
+    xyz = rng.randn(1, 30, 3).astype(np.float32)
+    q = rng.randn(1, 4, 3).astype(np.float32)
+    idx = np.asarray(knn_point(6, jnp.array(xyz), jnp.array(q)))
+    d = np_sqdist(q[0], xyz[0])
+    for s in range(4):
+        assert set(idx[0, s]) == set(np.argsort(d[s])[:6])
+
+
+def test_compute_density():
+    rng = np.random.RandomState(8)
+    xyz = rng.randn(2, 16, 3).astype(np.float32)
+    bw = 0.1
+    got = np.asarray(compute_density(jnp.array(xyz), bw))
+    for b in range(2):
+        d = np_sqdist(xyz[b], xyz[b])
+        g = np.exp(-d / (2 * bw * bw)) / (2.5 * bw)
+        np.testing.assert_allclose(got[b], g.mean(-1), rtol=1e-4)
