@@ -1,0 +1,398 @@
+"""Multi-order pairwise interaction pipeline.
+
+Three stages, replacing the reference CLI chain
+(final_gen_pair.py -> final_point_binary_interaction_logits.py ->
+final_cal_interactions.py):
+
+  1. `run_gen_pair`     — sample region pairs + contexts (host numpy with the
+     reference's seeding), find the adversarial pose among the enumeration
+     grid, save predicted labels.
+  2. `run_interaction_logits` — for every (pair, context) build the 4-row
+     masked batch [S∪{i,j}, S∪{i}, S∪{j}, S] via boolean region masks and
+     push it through one jitted forward; contexts are batched per device step.
+  3. `run_cal_interactions` — pure post-processing:
+     I = v(S∪{i,j}) + v(S) − v(S∪{i}) − v(S∪{j}).
+
+Artifact schema matches the reference (interaction_seed<k>/...,
+ratio<r>_context_list.npy, ratio<r>_all_logits.pt,
+ratio<r>_{gt,pred}_interaction.npy).
+"""
+from __future__ import annotations
+
+import itertools
+import math
+import os
+import time
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.special import comb
+
+from ..config import (BALL_QUERY_COEF, ExperimentConfig,
+                      MODELNET_INTER_SELECTED_SAMPLE,
+                      SHAPENET_INTER_SELECTED_SAMPLE)
+from ..pipeline import load_frozen_model, make_engine, resolve_dataset
+from ..utils.io import IOStream, mkdir, save_npy, save_torch_tensor
+from ..utils.rng import cal_rank, set_random
+from .coalitions import interaction_masks, masked_interaction_batch
+from .perturbations import MODES
+from .reward import reward_from_logits
+
+RATIOS = [0., 0.04, 0.07, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.]
+NUM_PAIRS_RANDOM = 300
+NUM_SAVE_CONTEXT_MAX = 100
+
+
+def selected_sample_indices(dataset: str) -> List[int]:
+    return (MODELNET_INTER_SELECTED_SAMPLE if dataset == "modelnet10"
+            else SHAPENET_INTER_SELECTED_SAMPLE)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+def _sqdist_np(x):
+    xx = np.sum(x ** 2, axis=1, keepdims=True)
+    return xx + xx.T - 2 * (x @ x.T)
+
+
+def _ball_query_np(x, r):
+    return _sqdist_np(x) < r ** 2
+
+
+def gen_pair_random(num_regions: int, num_pairs: int) -> np.ndarray:
+    """Random (i, j) pairs, i < j (reference final_gen_pair.py:288-300)."""
+    all_pairs = np.array([[i, j] for i in range(num_regions)
+                          for j in range(num_regions) if j > i])
+    idx = np.random.choice(all_pairs.shape[0], size=num_pairs, replace=False)
+    return all_pairs[idx]
+
+
+def gen_context(region_pair_list: np.ndarray, save_path: str,
+                num_regions: int, ratios: Sequence[float] = tuple(RATIOS),
+                num_save_context_max: int = NUM_SAVE_CONTEXT_MAX):
+    """Contexts S ⊆ N∖{i,j} of size m = ⌊(R-2)·ratio⌋ per pair
+    (reference final_gen_pair.py:18-43)."""
+    for ratio in ratios:
+        context_list = []
+        m = int((num_regions - 2) * ratio)
+        for pair in region_pair_list:
+            all_s = [r for r in range(num_regions) if r not in (pair[0], pair[1])]
+            if comb(len(all_s), m) > num_save_context_max:
+                ctx = [np.random.choice(all_s, m, replace=False)
+                       for _ in range(num_save_context_max)]
+            else:
+                ctx = list(itertools.combinations(all_s, m))
+            context_list.append(ctx)
+        context_list = np.array(context_list)     # (num_pairs, num_context, m)
+        save_npy(save_path + "ratio%d_context_list.npy" % int(ratio * 100),
+                 context_list)
+
+
+def gen_pair_single_region(region: int, neighbor_idx: np.ndarray,
+                           num_regions: int) -> np.ndarray:
+    pairs = [[region, n] for n in np.arange(num_regions)[neighbor_idx[region]]
+             if n != region]
+    return np.array(pairs)
+
+
+# ---------------------------------------------------------------------------
+# stage 1: pair / context / adv-pose generation
+# ---------------------------------------------------------------------------
+def run_gen_pair(cfg: ExperimentConfig, mode_name: str = "rotate",
+                 synthetic: bool = False, allow_random_init: bool = False,
+                 ratios: Sequence[float] = tuple(RATIOS),
+                 num_pairs_random: int = NUM_PAIRS_RANDOM,
+                 num_save_context_max: int = NUM_SAVE_CONTEXT_MAX,
+                 sample_indices: Optional[list] = None):
+    set_random(cfg.seed)
+    mode = MODES[mode_name]
+    dataset, names = resolve_dataset(cfg, synthetic)
+    _, _, forward = load_frozen_model(cfg, allow_random_init)
+    fwd = jax.jit(forward)
+    disturb_batch = jax.jit(jax.vmap(mode.disturb_fn, in_axes=(None, 0)))
+    disturb_one = jax.jit(mode.disturb_fn)
+
+    indices = sample_indices if sample_indices is not None else range(len(dataset))
+    for pc_idx in indices:
+        data, lbl = dataset[pc_idx]
+        name = names[pc_idx]
+        base_folder = cfg.exp_folder + f"{name}/"
+        mode_folder = base_folder + f"{mode_name}_all/"
+        inter_folder = base_folder + f"interaction_seed{cfg.seed}/"
+        single_region_folder = inter_folder + f"{mode_name}_adv_single_region/"
+        mkdir(inter_folder + "normal/")
+        mkdir(inter_folder + f"{mode_name}_adv/")
+        mkdir(single_region_folder)
+
+        # ---- random pairs (shared by normal and adv pose)
+        region_pair_list = gen_pair_random(cfg.num_regions, num_pairs_random)
+        save_npy(inter_folder + "region_pair_list.npy", region_pair_list)
+
+        # ---- adversarial pose: argmin reward over the enumeration grid
+        #      (reference final_gen_pair.py:221-286)
+        if mode_name == "trans":
+            all_params = np.load(mode_folder + "trans_vector.npy")
+        else:
+            all_params = np.load(mode_folder + "angle_tuple.npy")
+        all_disturb = disturb_batch(jnp.asarray(data), jnp.asarray(all_params))
+        logits = fwd(all_disturb)                                 # (P, C)
+        pred = np.asarray(jnp.argmax(logits, axis=1))
+        num_miscls = int((pred != lbl).sum())
+        print(f"[gen_pair] {name}: {num_miscls} poses misclassified")
+        v = np.asarray(reward_from_logits(logits, jnp.asarray(lbl),
+                                          cfg.softmax_type))
+        pose_idx = int(np.argmin(v))
+        save_npy(inter_folder + f"{mode_name}_adv/pose_idx.npy", pose_idx)
+        save_npy(inter_folder + f"{mode_name}_adv/transform_params.npy",
+                 all_params[pose_idx])
+
+        # ---- single-region pairs: most perturbation-sensitive region and
+        #      its ball-query neighbours (reference final_gen_pair.py:145-218)
+        region_id = np.load(base_folder + "region_id.npy")
+        region_shapley_values = np.load(mode_folder + "region_shapley_value.npy")
+        max_pose_idx = np.argmax(region_shapley_values, axis=0)
+        min_pose_idx = np.argmin(region_shapley_values, axis=0)
+        range_per_region = (region_shapley_values.max(0)
+                            - region_shapley_values.min(0))
+        range_rank = cfg.num_regions - cal_rank(range_per_region)
+
+        diameter = float(np.sqrt(np.maximum(_sqdist_np(data), 0)).max())
+        region_centers = np.stack([data[region_id == i].mean(axis=0)
+                                   for i in range(cfg.num_regions)])
+        neighbor_idx = _ball_query_np(region_centers,
+                                      BALL_QUERY_COEF * diameter)
+
+        for region in range(cfg.num_regions):
+            region_folder = (single_region_folder
+                             + "range_rank%02d_region%02d/" % (range_rank[region],
+                                                               region))
+            mkdir(region_folder + "normal/")
+            mkdir(region_folder + "max_pose/")
+            mkdir(region_folder + "min_pose/")
+            save_npy(region_folder + "max_pose/transform_params.npy",
+                     all_params[max_pose_idx[region]])
+            save_npy(region_folder + "max_pose/pose_idx.npy",
+                     max_pose_idx[region])
+            save_npy(region_folder + "min_pose/transform_params.npy",
+                     all_params[min_pose_idx[region]])
+            save_npy(region_folder + "min_pose/pose_idx.npy",
+                     min_pose_idx[region])
+            pair_list = gen_pair_single_region(region, neighbor_idx,
+                                               cfg.num_regions)
+            save_npy(region_folder + "region_pair_list.npy", pair_list)
+
+        # ---- contexts for random pairs and single-region pairs
+        gen_context(region_pair_list, inter_folder, cfg.num_regions, ratios,
+                    num_save_context_max)
+        for rf in sorted(os.listdir(single_region_folder)):
+            region_folder = single_region_folder + rf + "/"
+            if not os.path.isdir(region_folder):
+                continue
+            pair_list = np.load(region_folder + "region_pair_list.npy")
+            if len(pair_list) == 0:
+                continue
+            gen_context(pair_list, region_folder, cfg.num_regions, ratios,
+                        num_save_context_max)
+
+        # ---- predicted labels at the adv / max / min poses
+        def save_pred(save_path):
+            params = np.load(save_path + "transform_params.npy").astype(np.float32)
+            dd = disturb_one(jnp.asarray(data), jnp.asarray(params))
+            lg = fwd(dd[None]) if dd.ndim == 2 else fwd(dd)
+            p = int(np.asarray(jnp.argmax(lg, axis=1))[0])
+            with open(save_path + "pred_labels.txt", "w") as f:
+                f.write("lbl: %d\npred_lbl: %d\n" % (lbl, p))
+            save_npy(save_path + "pred_labels.npy", np.array([lbl, p]))
+
+        save_pred(inter_folder + f"{mode_name}_adv/")
+        for rf in sorted(os.listdir(single_region_folder)):
+            region_folder = single_region_folder + rf + "/"
+            if not os.path.isdir(region_folder):
+                continue
+            save_pred(region_folder + "max_pose/")
+            save_pred(region_folder + "min_pose/")
+
+
+# ---------------------------------------------------------------------------
+# stage 2: interaction logits
+# ---------------------------------------------------------------------------
+class InteractionEngine:
+    """Batched 4-row masked forwards for (pair, context) grids."""
+
+    def __init__(self, forward_fn, num_regions: int, batch_contexts: int = 100,
+                 coalition_sharding=None):
+        self.forward_fn = forward_fn
+        self.num_regions = num_regions
+        self.batch_contexts = batch_contexts
+        self.coalition_sharding = coalition_sharding
+        self._step = jax.jit(self._step_impl)
+
+    def _step_impl(self, data, center, context_keep, region_i, region_j,
+                   region_id):
+        rows = interaction_masks(context_keep, region_i, region_j)  # (C,4,R)
+        masked = masked_interaction_batch(data, center, rows, region_id)
+        if self.coalition_sharding is not None:
+            masked = jax.lax.with_sharding_constraint(
+                masked, self.coalition_sharding)
+        return self.forward_fn(masked)                   # (C*4, num_class)
+
+    def logits_for_pairs(self, data, region_id, region_pair_list,
+                         context_list) -> np.ndarray:
+        """(num_pairs, 4*num_context, num_class) logits.
+
+        context_list: (num_pairs, num_context, m) region indices.
+        """
+        data = jnp.asarray(data)
+        center = jnp.mean(data, axis=0)
+        region_id_j = jnp.asarray(region_id)
+        num_pairs, num_context = context_list.shape[0], context_list.shape[1]
+        # fixed compiled batch shape: pad every chunk to batch_contexts so the
+        # step compiles once across all ratios/pairs
+        bs = self.batch_contexts
+        out = []
+        for pair_idx in range(num_pairs):
+            ri = jnp.asarray(int(region_pair_list[pair_idx][0]))
+            rj = jnp.asarray(int(region_pair_list[pair_idx][1]))
+            chunks = []
+            for s in range(0, num_context, bs):
+                ctx = context_list[pair_idx, s:s + bs]          # (c, m)
+                c = ctx.shape[0]
+                keep = np.zeros((c, self.num_regions), bool)
+                if ctx.shape[1] > 0:
+                    rows = np.repeat(np.arange(c), ctx.shape[1])
+                    keep[rows, np.asarray(ctx, np.int64).ravel()] = True
+                if c < bs:  # pad to the compiled shape, drop afterwards
+                    keep = np.concatenate(
+                        [keep, np.zeros((bs - c, self.num_regions), bool)])
+                logits = self._step(data, center, jnp.asarray(keep), ri, rj,
+                                    region_id_j)
+                chunks.append(np.asarray(logits).reshape(bs, 4, -1)[:c])
+            out.append(np.concatenate(chunks, axis=0).reshape(4 * num_context, -1))
+        return np.stack(out)                              # (pairs, 4*C, classes)
+
+
+def run_interaction_logits(cfg: ExperimentConfig, mode_name: str = "rotate",
+                           synthetic: bool = False,
+                           allow_random_init: bool = False,
+                           ratios: Sequence[float] = tuple(RATIOS),
+                           coalition_sharding=None,
+                           sample_indices: Optional[list] = None):
+    """Save ratio<r>_all_logits.pt for normal pose, adv pose, and the
+    rank-1 single region at normal pose (reference
+    final_point_binary_interaction_logits.py:83-136)."""
+    set_random(cfg.seed)
+    mode = MODES[mode_name]
+    dataset, names = resolve_dataset(cfg, synthetic)
+    _, _, forward = load_frozen_model(cfg, allow_random_init)
+    engine = InteractionEngine(forward, cfg.num_regions,
+                               batch_contexts=cfg.interaction_batch_size,
+                               coalition_sharding=coalition_sharding)
+    disturb_one = jax.jit(mode.disturb_fn)
+
+    indices = (sample_indices if sample_indices is not None
+               else selected_sample_indices(cfg.dataset))
+    for pc_idx in indices:
+        data, lbl = dataset[pc_idx]
+        name = names[pc_idx]
+        base_folder = cfg.exp_folder + f"{name}/"
+        inter_folder = base_folder + f"interaction_seed{cfg.seed}/"
+        single_region_folder = inter_folder + f"{mode_name}_adv_single_region/"
+        region_id = np.load(base_folder + "region_id.npy")
+
+        def save_all_orders(cloud, save_path):
+            pair_list = np.load(save_path + "../region_pair_list.npy")
+            for ratio in ratios:
+                t0 = time.time()
+                ctx = np.load(save_path
+                              + "../ratio%d_context_list.npy" % int(ratio * 100))
+                logits = engine.logits_for_pairs(cloud, region_id, pair_list, ctx)
+                save_torch_tensor(
+                    save_path + "ratio%d_all_logits.pt" % int(ratio * 100),
+                    logits)
+                print(f"  ratio {ratio:.2f}: {logits.shape} "
+                      f"in {time.time() - t0:.2f}s")
+
+        print(f"[interaction_logits] ======= sample {name} =======")
+        save_all_orders(data, inter_folder + "normal/")
+
+        params = np.load(inter_folder + f"{mode_name}_adv/transform_params.npy"
+                         ).astype(np.float32)
+        data_disturb = np.asarray(disturb_one(jnp.asarray(data),
+                                              jnp.asarray(params)))
+        save_all_orders(data_disturb, inter_folder + f"{mode_name}_adv/")
+
+        for rf in sorted(os.listdir(single_region_folder)):
+            region_folder = single_region_folder + rf + "/"
+            if not os.path.isdir(region_folder):
+                continue
+            range_rank = int(rf[10:12])
+            if range_rank != 1:
+                continue
+            save_all_orders(data, region_folder + "normal/")
+
+
+# ---------------------------------------------------------------------------
+# stage 3: interaction scores (pure post-processing)
+# ---------------------------------------------------------------------------
+def compute_order_interaction(all_logits: np.ndarray, label: int,
+                              softmax_type: str = "modified") -> np.ndarray:
+    """I = v(S∪{i,j}) + v(S) − v(S∪{i}) − v(S∪{j}) per (pair, context).
+
+    Args:
+      all_logits: (num_pairs, 4*num_context, num_class).
+    Returns:
+      (num_pairs, num_context).
+    """
+    num_pairs, rows, _ = all_logits.shape
+    num_context = rows // 4
+    logits = jnp.asarray(all_logits.reshape(num_pairs * rows, -1))
+    v = np.asarray(reward_from_logits(logits, jnp.asarray(label), softmax_type))
+    v = v.reshape(num_pairs, num_context, 4)
+    return v[:, :, 0] + v[:, :, 3] - v[:, :, 1] - v[:, :, 2]
+
+
+def run_cal_interactions(cfg: ExperimentConfig, mode_name: str = "rotate",
+                         synthetic: bool = False,
+                         output_type: str = "pred",
+                         ratios: Sequence[float] = tuple(RATIOS),
+                         sample_indices: Optional[list] = None):
+    """Score saved logits into ratio<r>_{gt,pred}_interaction.npy
+    (reference final_cal_interactions.py:40-100)."""
+    dataset, names = resolve_dataset(cfg, synthetic)
+    indices = (sample_indices if sample_indices is not None
+               else selected_sample_indices(cfg.dataset))
+
+    def cal_all_orders(label, save_path):
+        from ..utils.io import load_torch_tensor
+        for ratio in ratios:
+            logits = load_torch_tensor(
+                save_path + "ratio%d_all_logits.pt" % int(ratio * 100))
+            inter = compute_order_interaction(logits, label, cfg.softmax_type)
+            save_npy(save_path + "ratio%d_%s_interaction.npy"
+                     % (int(ratio * 100), output_type), inter)
+
+    for pc_idx in indices:
+        _, lbl = dataset[pc_idx]
+        name = names[pc_idx]
+        inter_folder = (cfg.exp_folder + f"{name}/"
+                        + f"interaction_seed{cfg.seed}/")
+        single_region_folder = inter_folder + f"{mode_name}_adv_single_region/"
+
+        print(f"[cal_interactions] ======= sample {name} =======")
+        cal_all_orders(lbl, inter_folder + "normal/")
+
+        pred_class = int(np.load(inter_folder
+                                 + f"{mode_name}_adv/pred_labels.npy")[1])
+        adv_label = lbl if output_type == "gt" else pred_class
+        cal_all_orders(adv_label, inter_folder + f"{mode_name}_adv/")
+
+        for rf in sorted(os.listdir(single_region_folder)):
+            region_folder = single_region_folder + rf + "/"
+            if not os.path.isdir(region_folder):
+                continue
+            if int(rf[10:12]) != 1:
+                continue
+            cal_all_orders(lbl, region_folder + "normal/")

@@ -50,7 +50,8 @@ def save_fps(cfg: ExperimentConfig, synthetic: bool = False,
 def run_shapley_init(cfg: ExperimentConfig, synthetic: bool = False,
                      allow_random_init: bool = False,
                      coalition_sharding=None,
-                     sample_indices: Optional[list] = None):
+                     sample_indices: Optional[list] = None,
+                     resume: bool = False):
     """Per eval cloud: region ids, norm factor, saved permutations, the
     1000-sample Shapley estimate with convergence snapshots, and the raw
     per-order estimates (region_sv_all.npy)."""
@@ -68,6 +69,9 @@ def run_shapley_init(cfg: ExperimentConfig, synthetic: bool = False,
     for i in indices:
         data, lbl = dataset[i]
         result_path = cfg.exp_folder + f"{names[i]}/"
+        if resume and os.path.exists(result_path + "region_sv_all.npy"):
+            print(f"[shapley_init] {names[i]}: artifacts exist, skipping")
+            continue
         mkdir(result_path)
 
         region_id = np.asarray(region_id_from_fps(
@@ -114,7 +118,8 @@ def _save_snapshot(region_sv_sum, pc_idx, count, result_path, region_id, cfg):
 def run_enum(cfg: ExperimentConfig, mode_name: str, synthetic: bool = False,
              allow_random_init: bool = False, pose_chunk: int = 1,
              coalition_sharding=None, save_logits: bool = True,
-             sample_indices: Optional[list] = None):
+             sample_indices: Optional[list] = None, resume: bool = False,
+             max_poses: Optional[int] = None):
     """Recompute Shapley values at every pose of a perturbation grid."""
     set_random(cfg.seed)
     mode = MODES[mode_name]
@@ -123,6 +128,8 @@ def run_enum(cfg: ExperimentConfig, mode_name: str, synthetic: bool = False,
     engine = make_engine(cfg, forward, coalition_sharding)
 
     all_params = mode.generate_params()                 # (P, 3) or (P,)
+    if max_poses is not None:
+        all_params = all_params[:max_poses]
     disturb_batch = jax.jit(jax.vmap(mode.disturb_fn, in_axes=(None, 0)))
 
     indices = sample_indices if sample_indices is not None else range(len(dataset))
@@ -130,6 +137,9 @@ def run_enum(cfg: ExperimentConfig, mode_name: str, synthetic: bool = False,
         data, lbl = dataset[pc_index]
         base_folder = cfg.exp_folder + f"{names[pc_index]}/"
         mode_folder = base_folder + f"{mode_name}_all/"
+        if resume and os.path.exists(mode_folder + "region_shapley_value.npy"):
+            print(f"[enum:{mode_name}] {names[pc_index]}: artifacts exist, skipping")
+            continue
         mkdir(mode_folder)
         io = IOStream(mode_folder + "log.txt")
         io.cprint(str(cfg))
@@ -149,15 +159,21 @@ def run_enum(cfg: ExperimentConfig, mode_name: str, synthetic: bool = False,
         sv_list, logits_list = [], []
         data_j = jnp.asarray(data)
         for start in range(0, P, pose_chunk):
-            params_chunk = jnp.asarray(all_params[start:start + pose_chunk])
+            chunk = all_params[start:start + pose_chunk]
+            valid = chunk.shape[0]
+            if valid < pose_chunk:   # pad ragged tail to the compiled shape
+                pad = np.repeat(chunk[-1:], pose_chunk - valid, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            params_chunk = jnp.asarray(chunk)
             data_disturb = disturb_batch(data_j, params_chunk)   # (Pc, N, 3)
             if save_logits:
                 sv, logits = engine.shapley_for_poses(
                     data_disturb, lbl, region_id, orders, return_logits=True)
-                logits_list.append(logits)
+                logits_list.append(logits[:valid])
             else:
                 sv = engine.shapley_for_poses(
                     data_disturb, lbl, region_id, orders, return_logits=False)
+            sv = sv[:valid]
             sv_list.append(sv)
             for k in range(sv.shape[0]):
                 io.cprint("pose %d %s: shapley %s"

@@ -1,0 +1,59 @@
+"""Shared CLI argument surface, mirroring the reference flags
+(e.g. final_shapley_value.py:178-188) plus TPU-specific knobs."""
+from __future__ import annotations
+
+import argparse
+
+from ..config import ExperimentConfig, MODEL_NAMES
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--model", type=str, default="pointnet", choices=MODEL_NAMES)
+    p.add_argument("--dataset", type=str, default="modelnet10",
+                   choices=["modelnet10", "shapenet"])
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--softmax_type", type=str, default="modified",
+                   choices=["normal", "modified"])
+    p.add_argument("--model_path", type=str, default=None,
+                   help="checkpoint (.msgpack or reference .t7)")
+    p.add_argument("--data_root", type=str, default="./data")
+    p.add_argument("--checkpoints_root", type=str, default="./checkpoints")
+    p.add_argument("--shapley_batch_size", type=int, default=None)
+    p.add_argument("--interaction_batch_size", type=int, default=None)
+    # TPU-native extras
+    p.add_argument("--synthetic", action="store_true",
+                   help="run on the deterministic synthetic eval set")
+    p.add_argument("--allow_random_init", action="store_true",
+                   help="fall back to random-init params when no checkpoint")
+    p.add_argument("--samples", type=str, default=None,
+                   help="comma-separated eval-sample indices to process")
+    p.add_argument("--mesh_devices", type=int, default=0,
+                   help="shard the coalition axis over this many devices "
+                        "(0 = single device)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip samples whose stage artifacts already exist")
+    return p
+
+
+def config_from_args(args) -> ExperimentConfig:
+    return ExperimentConfig(
+        model=args.model, dataset=args.dataset, seed=args.seed,
+        softmax_type=args.softmax_type, model_path=args.model_path,
+        data_root=args.data_root, checkpoints_root=args.checkpoints_root,
+        shapley_batch_size=args.shapley_batch_size,
+        interaction_batch_size=args.interaction_batch_size)
+
+
+def sample_indices_from_args(args):
+    if args.samples is None:
+        return None
+    return [int(s) for s in args.samples.split(",") if s != ""]
+
+
+def sharding_from_args(args):
+    if not args.mesh_devices:
+        return None
+    from ..parallel import coalition_sharding, make_mesh
+    mesh = make_mesh(args.mesh_devices)
+    return coalition_sharding(mesh)

@@ -122,12 +122,13 @@ class ShapeNetShapleyEval:
         return len(self.items)
 
     def __getitem__(self, index) -> Tuple[np.ndarray, int]:
+        from . import native
         path, label = self.items[index]
-        point_set = np.loadtxt(path).astype(np.float32)
+        point_set = native.parse_pts(path).astype(np.float32)
         point_set = point_set - point_set.mean(axis=0, keepdims=True)
         dist = np.max(np.sqrt(np.sum(point_set ** 2, axis=1)))
         point_set = point_set / dist
-        choice = farthest_point_sample_np(point_set, self.num_points)
+        choice = native.fps(point_set, self.num_points)
         return point_set[choice, :].astype(np.float32), label
 
 
@@ -232,8 +233,9 @@ class ShapeNetTrain(_TrainBase):
                                    classes[cat_name]))
 
     def _load(self, index):
+        from . import native
         path, label = self.items[index]
-        point_set = np.loadtxt(path).astype(np.float32)
+        point_set = native.parse_pts(path).astype(np.float32)
         point_set = point_set - point_set.mean(axis=0, keepdims=True)
         dist = np.max(np.sqrt(np.sum(point_set ** 2, axis=1)))
         point_set = point_set / dist

@@ -4,11 +4,28 @@ DGCNN recomputes the kNN graph in *feature space* before every edge-conv
 (reference models/dgcnn.py:51-120); GCNN reuses the *input-space* kNN graph
 for all four layers (dgcnn.py:123-194) — structurally identical otherwise.
 
-Edge features are ``[x_j - x_i, x_i]`` over each point's k neighbours
-(dgcnn.py:21-47).  The gather + edge construction + 1x1 conv + max-over-k
-here is expressed so XLA fuses the elementwise work into the conv matmul;
-the (B, N, k, 2C) tensor is the model family's peak activation and drives
-the per-model coalition batch size.
+TPU-first edge convolution
+--------------------------
+The reference materialises edge features ``[x_j - x_i, x_i]`` of shape
+(B, 2C, N, k) and convolves them (dgcnn.py:21-47) — the model family's peak
+activation and its FLOP hot spot.  Because the 1x1 conv is linear, the matmul
+hoists *above* the neighbour gather:
+
+    [x_j - x_i, x_i] @ [W1; W2] = x_j @ W1 + x_i @ (W2 - W1)
+
+so we precompute A = x @ W1 and B = x @ (W2 - W1) once per layer — two
+(N, C) x (C, F) matmuls instead of an (N*k, 2C) x (2C, F) one, a ~k x FLOP
+reduction — and the max over neighbours needs only gathered rows of A:
+
+    max_k act(bn(edge))[n]  =  act(alpha * M + beta),
+    M[n] = B[n] + (max_k A[idx[n, k]]   if alpha > 0
+                   min_k A[idx[n, k]]   otherwise)
+
+valid in eval mode because BatchNorm with running stats is a per-channel
+affine map and LeakyReLU is monotone increasing.  The (B, N, k, C) tensor is
+never materialised: the gather+max streams over k with an (B, N, F) running
+extremum.  Training uses the naive path (batch statistics need the pre-max
+activations) — attribution, the hot workload, is always eval-mode.
 """
 from __future__ import annotations
 
@@ -26,8 +43,7 @@ def graph_feature(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Edge features [x_j - x_i, x_i] for given neighbour indices.
 
     Args:
-      x: (B, N, C)
-      idx: (B, N, k) neighbour indices.
+      x: (B, N, C);  idx: (B, N, k).
     Returns:
       (B, N, k, 2C).
     """
@@ -36,23 +52,70 @@ def graph_feature(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([neigh - centre, centre], axis=-1)
 
 
+def _gather_rows(a: jnp.ndarray, idx_k: jnp.ndarray) -> jnp.ndarray:
+    """a: (B, N, F), idx_k: (B, N) -> (B, N, F)."""
+    return jax.vmap(lambda t, i: t[i])(a, idx_k)
+
+
 class EdgeConv(nn.Module):
-    """Edge convolution: graph feature -> 1x1 conv (no bias) + BN + LeakyReLU
-    -> max over neighbours."""
+    """Edge convolution: graph feature -> 1x1 conv (no bias) + BN +
+    LeakyReLU(0.2) -> max over the k neighbours.
+
+    Parameters (converter-visible paths): kernel (2C, F), bn_scale, bn_bias;
+    batch_stats: bn_mean, bn_var.
+    """
     features: int
 
     @nn.compact
     def __call__(self, x, idx, train: bool = False):
-        e = graph_feature(x, idx)                        # (B, N, k, 2C)
-        e = ConvBN(self.features, use_bias=False, act=leaky_relu02,
-                   name="conv")(e, train=train)
-        return jnp.max(e, axis=2)                        # (B, N, features)
+        B, N, C = x.shape
+        k = idx.shape[-1]
+        F = self.features
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2 * C, F))
+        scale = self.param("bn_scale", nn.initializers.ones, (F,))
+        bias = self.param("bn_bias", nn.initializers.zeros, (F,))
+        ra_mean = self.variable("batch_stats", "bn_mean",
+                                lambda: jnp.zeros((F,)))
+        ra_var = self.variable("batch_stats", "bn_var",
+                               lambda: jnp.ones((F,)))
+
+        if train:
+            e = graph_feature(x, idx)                    # (B, N, k, 2C)
+            y = e @ kernel                               # (B, N, k, F)
+            m = jnp.mean(y, axis=(0, 1, 2))
+            v = jnp.var(y, axis=(0, 1, 2))
+            n = B * N * k
+            if not self.is_initializing():
+                ra_mean.value = (BN_MOMENTUM * ra_mean.value
+                                 + (1 - BN_MOMENTUM) * m)
+                ra_var.value = (BN_MOMENTUM * ra_var.value
+                                + (1 - BN_MOMENTUM) * v * n / max(n - 1, 1))
+            y = (y - m) * jax.lax.rsqrt(v + BN_EPS)
+            y = y * scale + bias
+            return jnp.max(leaky_relu02(y), axis=2)
+
+        # ---- fused eval path: matmul hoisted above the gather ----
+        w1 = kernel[:C]
+        w2 = kernel[C:]
+        a = x @ w1                                       # (B, N, F)
+        b = x @ (w2 - w1)                                # (B, N, F)
+        amax = jnp.full_like(a, -jnp.inf)
+        amin = jnp.full_like(a, jnp.inf)
+        for j in range(k):
+            g = _gather_rows(a, idx[..., j])
+            amax = jnp.maximum(amax, g)
+            amin = jnp.minimum(amin, g)
+        alpha = scale * jax.lax.rsqrt(ra_var.value + BN_EPS)
+        beta = bias - alpha * ra_mean.value
+        m_ext = b + jnp.where(alpha > 0, amax, amin)
+        return leaky_relu02(alpha * m_ext + beta)
 
 
 class _DGCNNBase(nn.Module):
     num_classes: int = 10
     k: int = 20
-    dynamic_graph: bool = True   # True: DGCNN, False: GCNN (fixed input-space graph)
+    dynamic_graph: bool = True   # True: DGCNN, False: GCNN (fixed input graph)
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -57,8 +57,9 @@ def pointnet_rules() -> List[Rule]:
 def dgcnn_rules() -> List[Rule]:
     r: List[Rule] = []
     for i in (1, 2, 3, 4):
-        r.append((f"conv{i}.0", (f"conv{i}", "conv", "conv"), "conv"))
-        r.append((f"bn{i}", (f"conv{i}", "conv", "bn"), "bn"))
+        # EdgeConv stores its parameters flat: kernel + bn_{scale,bias,mean,var}
+        r.append((f"conv{i}.0", (f"conv{i}",), "conv"))
+        r.append((f"bn{i}", (f"conv{i}",), "bn_flat"))
     r.append(("conv5.0", ("conv5", "conv"), "conv"))
     r.append(("bn5", ("conv5", "bn"), "bn"))
     r.append(("linear1", ("linear1",), "conv"))
@@ -172,6 +173,11 @@ def convert_state_dict(model_name: str, state: Dict) -> Dict:
             _set(params, fpath, "bias", state[f"{tprefix}.bias"])
             _set(stats, fpath, "mean", state[f"{tprefix}.running_mean"])
             _set(stats, fpath, "var", state[f"{tprefix}.running_var"])
+        elif kind == "bn_flat":
+            _set(params, fpath, "bn_scale", state[f"{tprefix}.weight"])
+            _set(params, fpath, "bn_bias", state[f"{tprefix}.bias"])
+            _set(stats, fpath, "bn_mean", state[f"{tprefix}.running_mean"])
+            _set(stats, fpath, "bn_var", state[f"{tprefix}.running_var"])
         else:
             raise ValueError(kind)
     return {"params": params, "batch_stats": stats}

@@ -1,0 +1,233 @@
+"""Adversarial (BIM) training for adv-GCNN.
+
+The reference hand-derives the rotation VJP and runs host-side BIM loops
+(main_cls_adv.py:116-165, tools/final_util.py:287-401).  Here both attacks
+are `lax.fori_loop`s of `jax.grad` steps through the differentiable
+axis-angle rotation — one compiled program per attack.
+
+Attack semantics (matching main_cls_adv.py):
+  * rotation BIM, 7 steps: alpha += step*sign(g_alpha), clipped to
+    [-threshold, threshold]; (theta, phi) move along their joint-normalised
+    gradient.
+  * translation BIM, 3 steps on top of the rotated cloud: t += step * g/|g|,
+    then L2-projected onto the threshold ball.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.transforms import rot_angle_axis
+from .losses import cal_loss
+
+ROT_ADV_ITER = 7
+ROT_ADV_STEP = math.pi / 16
+ROT_ADV_THRESHOLD = math.pi / 4
+TRANS_ADV_ITER = 3
+TRANS_ADV_STEP = 0.1
+TRANS_ADV_THRESHOLD = 0.2
+
+
+def bim_rotation_attack(loss_of_cloud: Callable, data: jnp.ndarray,
+                        labels: jnp.ndarray, iterations: int = ROT_ADV_ITER,
+                        step: float = ROT_ADV_STEP,
+                        threshold: float = ROT_ADV_THRESHOLD):
+    """BIM over (alpha, theta, phi); returns the rotated adversarial clouds.
+
+    Args:
+      loss_of_cloud: (clouds (B,N,3), labels) -> scalar loss (eval-mode model).
+    """
+    B = data.shape[0]
+
+    def attack_loss(angles):
+        alphas, thetas, phis = angles
+        rot = rot_angle_axis(data, alphas, thetas, phis)
+        return loss_of_cloud(rot, labels)
+
+    grad_fn = jax.grad(attack_loss)
+
+    def body(_, angles):
+        g_a, g_t, g_p = grad_fn(angles)
+        alphas, thetas, phis = angles
+        norm = jnp.sqrt(g_t ** 2 + g_p ** 2)
+        norm = jnp.where(norm == 0, 1.0, norm)
+        alphas = jnp.clip(alphas + step * jnp.sign(g_a), -threshold, threshold)
+        thetas = thetas + step * g_t / norm
+        phis = phis + step * g_p / norm
+        return alphas, thetas, phis
+
+    zeros = jnp.zeros((B,), data.dtype)
+    alphas, thetas, phis = jax.lax.fori_loop(
+        0, iterations, body, (zeros, zeros, zeros))
+    return rot_angle_axis(data, alphas, thetas, phis)
+
+
+def bim_translation_attack(loss_of_cloud: Callable, data: jnp.ndarray,
+                           labels: jnp.ndarray,
+                           iterations: int = TRANS_ADV_ITER,
+                           step: float = TRANS_ADV_STEP,
+                           threshold: float = TRANS_ADV_THRESHOLD):
+    """BIM over a per-cloud translation with L2-ball projection; returns the
+    translated clouds."""
+    B = data.shape[0]
+
+    def attack_loss(trans):
+        return loss_of_cloud(data + trans, labels)
+
+    grad_fn = jax.grad(attack_loss)
+
+    def body(_, trans):
+        g = grad_fn(trans)
+        gnorm = jnp.linalg.norm(g, axis=2, keepdims=True)
+        trans = trans + step * g / jnp.maximum(gnorm, 1e-30)
+        tnorm = jnp.linalg.norm(trans, axis=2, keepdims=True)
+        clip = jnp.maximum(tnorm, threshold)
+        return threshold * trans / clip
+
+    trans = jax.lax.fori_loop(0, iterations, body,
+                              jnp.zeros((B, 1, 3), data.dtype))
+    return data + trans
+
+
+def make_adv_batch_fn(model, rot_kwargs: Optional[dict] = None,
+                      trans_kwargs: Optional[dict] = None):
+    """Jitted (variables, data, labels) -> (data_rot, data_rot_trans):
+    the two adversarial variants the adv trainer fits on
+    (main_cls_adv.py:170-192)."""
+    rot_kwargs = rot_kwargs or {}
+    trans_kwargs = trans_kwargs or {}
+
+    @jax.jit
+    def gen(variables, data, labels):
+        def loss_of_cloud(clouds, lbls):
+            out = model.apply(variables, clouds, train=False)
+            logits = out[0] if isinstance(out, tuple) else out
+            return cal_loss(logits, lbls, smoothing=True)
+
+        data_rot = bim_rotation_attack(loss_of_cloud, data, labels,
+                                       **rot_kwargs)
+        data_rot = jax.lax.stop_gradient(data_rot)
+        data_disturb = bim_translation_attack(loss_of_cloud, data_rot, labels,
+                                              **trans_kwargs)
+        return data_rot, jax.lax.stop_gradient(data_disturb)
+
+    return gen
+
+
+def fit_adversarial(model, variables, model_name: str, train_ds, test_ds, *,
+                    batch_size: int = 16, test_batch_size: int = 16,
+                    epochs: int = 400, exp_dir: str = "./checkpoints/run_adv",
+                    io=None, seed: int = 1, best_acc_gate: float = 0.80,
+                    base_lr: float = 1e-3):
+    """Adversarial trainer: per batch generate BIM rotation and
+    rotation+translation adversarial variants (eval-mode model), then take
+    one optimizer step on the summed gradients of both variants — the
+    reference's two backward passes into one opt.step()
+    (main_cls_adv.py:109-192).  Also runs the per-epoch random-rotation
+    robustness eval (:242-277)."""
+    import time
+
+    import numpy as np
+    import optax
+
+    from ..models.checkpoint import save_variables
+    from ..utils.io import IOStream, mkdir
+    from .trainer import TrainState, make_eval_step, make_optimizer
+
+    mkdir(exp_dir + "/models")
+    if io is None:
+        io = IOStream(exp_dir + "/run.log")
+    steps_per_epoch = max(1, len(train_ds) // batch_size)
+    smoothing = True
+    tx, _ = make_optimizer(model_name, steps_per_epoch, epochs, base_lr)
+    state = TrainState(variables["params"], variables["batch_stats"],
+                       tx.init(variables["params"]), jnp.array(0))
+    gen_adv = make_adv_batch_fn(model)
+    eval_step = make_eval_step(model, smoothing)
+    rng = jax.random.PRNGKey(seed)
+
+    def loss_fn(params, batch_stats, data, labels, drop_rng):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, data, train=True,
+            mutable=["batch_stats"], rngs={"dropout": drop_rng})
+        logits = out[0] if isinstance(out, tuple) else out
+        return cal_loss(logits, labels, smoothing=smoothing), (
+            logits, mutated["batch_stats"])
+
+    @jax.jit
+    def adv_step(state, data, labels, drop_rng):
+        data_rot, data_disturb = gen_adv(state.variables, data, labels)
+        k1, k2 = jax.random.split(drop_rng)
+        (l1, (lg1, bs1)), g1 = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, data_rot, labels, k1)
+        (l2, (lg2, bs2)), g2 = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, bs1, data_disturb, labels, k2)
+        grads = jax.tree_util.tree_map(lambda a, b: a + b, g1, g2)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        preds1 = jnp.argmax(lg1, -1)
+        preds2 = jnp.argmax(lg2, -1)
+        return (TrainState(new_params, bs2, new_opt, state.step + 1),
+                l1 + l2, preds1, preds2)
+
+    best_test_acc = best_acc_gate
+    for epoch in range(epochs):
+        t0 = time.time()
+        losses, hits, count = [], 0, 0
+        for data, labels in train_ds.batches(batch_size):
+            rng, sub = jax.random.split(rng)
+            state, loss, p1, p2 = adv_step(state, jnp.asarray(data),
+                                           jnp.asarray(labels), sub)
+            losses.append(float(loss) * len(labels))
+            hits += int((np.asarray(p1) == labels).sum()
+                        + (np.asarray(p2) == labels).sum())
+            count += 2 * len(labels)
+        io.cprint("Train %d, loss: %.6f, train acc: %.6f (%.1fs)"
+                  % (epoch, sum(losses) / count, hits / count,
+                     time.time() - t0))
+
+        # clean test
+        th, tc = 0, 0
+        for data, labels in test_ds.batches(test_batch_size, shuffle=False):
+            _, preds = eval_step(state.variables, jnp.asarray(data),
+                                 jnp.asarray(labels))
+            th += int((np.asarray(preds) == labels).sum())
+            tc += len(labels)
+        test_acc = th / tc
+        io.cprint("Test %d, test acc: %.6f" % (epoch, test_acc))
+
+        # random-rotation robustness eval
+        rh, rc = 0, 0
+        for data, labels in test_ds.batches(test_batch_size, shuffle=False):
+            rng, sub = jax.random.split(rng)
+            rot = random_rotation_eval_batch(sub, jnp.asarray(data))
+            _, preds = eval_step(state.variables, rot, jnp.asarray(labels))
+            rh += int((np.asarray(preds) == labels).sum())
+            rc += len(labels)
+        io.cprint("Test adv %d, rot-robust acc: %.6f" % (epoch, rh / rc))
+
+        if epoch % 10 == 9:
+            save_variables(f"{exp_dir}/models/model_{epoch}.msgpack",
+                           state.variables)
+        if test_acc >= best_test_acc:
+            best_test_acc = test_acc
+            save_variables(f"{exp_dir}/models/model_best.msgpack",
+                           state.variables)
+    return state, best_test_acc
+
+
+def random_rotation_eval_batch(rng, data):
+    """Random axis-angle rotation used by the per-epoch robustness eval
+    (main_cls_adv.py:253-258): alpha ∈ [-pi/2, pi/2], theta ∈ [0, pi),
+    phi ∈ [0, 2pi)."""
+    B = data.shape[0]
+    k1, k2, k3 = jax.random.split(rng, 3)
+    alphas = jax.random.uniform(k1, (B,)) * jnp.pi - jnp.pi / 2
+    thetas = jax.random.uniform(k2, (B,)) * jnp.pi
+    phis = jax.random.uniform(k3, (B,)) * 2 * jnp.pi
+    return rot_angle_axis(data, alphas, thetas, phis)

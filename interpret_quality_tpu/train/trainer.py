@@ -1,0 +1,166 @@
+"""Training: optax optimizers/schedules matching the reference policies,
+jitted train/eval steps, data-parallel over a device mesh.
+
+Reference policy (main_cls_seed.py:78-101,98-101,224):
+  * pointnet / pointnet2: Adam lr 1e-3, L2 1e-4, StepLR(20, 0.7), 200 epochs
+  * pointconv:            SGD lr 1e-2, momentum 0.9, L2 1e-4, StepLR(30, 0.7), 400 epochs
+  * dgcnn / gcnn:         SGD lr 0.1, momentum 0.9, L2 1e-4, cosine→1e-3, 250 epochs
+Label smoothing only for dgcnn/gcnn (:132-135); PointNet adds the feature-
+transform regulariser * 1e-3 (:137-138).
+
+The torch DataParallel scatter/gather (main_cls_seed.py:73-74) becomes a
+sharded batch axis over a 1-D mesh: XLA inserts the gradient psum over ICI.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import feature_transform_regularizer
+from ..models.checkpoint import save_variables
+from ..utils.io import IOStream, mkdir
+from .losses import cal_loss
+
+EPOCHS_BY_MODEL = {"pointnet": 200, "pointnet2": 200, "pointconv": 400,
+                   "dgcnn": 250, "gcnn": 250, "gcnn_adv": 400}
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def make_optimizer(model_name: str, steps_per_epoch: int,
+                   epochs: Optional[int] = None, base_lr: float = 1e-3,
+                   momentum: float = 0.9, weight_decay: float = 1e-4):
+    """Reference per-model optimizer + schedule (L2 is torch-style: added to
+    the gradient before the moment updates, not decoupled)."""
+    epochs = epochs or EPOCHS_BY_MODEL[model_name]
+    if model_name in ("pointnet", "pointnet2"):
+        lr = optax.exponential_decay(base_lr, 20 * steps_per_epoch, 0.7,
+                                     staircase=True)
+        grad_tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    elif model_name == "pointconv":
+        lr = optax.exponential_decay(base_lr * 10, 30 * steps_per_epoch, 0.7,
+                                     staircase=True)
+        grad_tx = optax.trace(decay=momentum)
+    else:  # dgcnn / gcnn / gcnn_adv
+        init = base_lr * 100
+        lr = optax.cosine_decay_schedule(init, epochs * steps_per_epoch,
+                                         alpha=1e-3 / init)
+        grad_tx = optax.trace(decay=momentum)
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        grad_tx,
+        optax.scale_by_learning_rate(lr),
+    ), epochs
+
+
+def make_train_step(model, tx, model_name: str, smoothing: bool,
+                    lambda_ft: float = 1e-3):
+    """Jitted (state, data, labels, rng) -> (state, loss, preds)."""
+
+    def loss_fn(params, batch_stats, data, labels, rng):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, data, train=True,
+            mutable=["batch_stats"], rngs={"dropout": rng})
+        if isinstance(out, tuple):
+            logits, trans_feat, _ = out
+        else:
+            logits, trans_feat = out, None
+        loss = cal_loss(logits, labels, smoothing=smoothing)
+        if model_name == "pointnet" and trans_feat is not None:
+            loss = loss + feature_transform_regularizer(trans_feat) * lambda_ft
+        return loss, (logits, mutated["batch_stats"])
+
+    @jax.jit
+    def step(state: TrainState, data, labels, rng):
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, data,
+                                   labels, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        preds = jnp.argmax(logits, axis=-1)
+        return (TrainState(new_params, new_stats, new_opt, state.step + 1),
+                loss, preds)
+
+    return step
+
+
+def make_eval_step(model, smoothing: bool):
+    @jax.jit
+    def step(variables, data, labels):
+        out = model.apply(variables, data, train=False)
+        logits = out[0] if isinstance(out, tuple) else out
+        loss = cal_loss(logits, labels, smoothing=smoothing)
+        return loss, jnp.argmax(logits, axis=-1)
+    return step
+
+
+def fit(model, variables, model_name: str, train_ds, test_ds, *,
+        batch_size: int = 32, test_batch_size: int = 16,
+        epochs: Optional[int] = None, exp_dir: str = "./checkpoints/run",
+        io: Optional[IOStream] = None, seed: int = 1,
+        best_acc_gate: float = 0.80, base_lr: float = 1e-3):
+    """Train a classifier; checkpoints every 10 epochs + best (acc-gated),
+    mirroring the reference acceptance behaviour (main_cls_seed.py:108,202-209)."""
+    mkdir(exp_dir + "/models")
+    if io is None:
+        io = IOStream(exp_dir + "/run.log")
+    steps_per_epoch = max(1, len(train_ds) // batch_size)
+    smoothing = model_name in ("dgcnn", "gcnn", "gcnn_adv")
+    tx, epochs = make_optimizer(model_name, steps_per_epoch, epochs, base_lr)
+    state = TrainState(variables["params"], variables["batch_stats"],
+                       tx.init(variables["params"]), jnp.array(0))
+    train_step = make_train_step(model, tx, model_name, smoothing)
+    eval_step = make_eval_step(model, smoothing)
+    rng = jax.random.PRNGKey(seed)
+
+    best_test_acc = best_acc_gate
+    for epoch in range(epochs):
+        t0 = time.time()
+        losses, hits, count = [], 0, 0
+        for data, labels in train_ds.batches(batch_size):
+            rng, sub = jax.random.split(rng)
+            state, loss, preds = train_step(state, jnp.asarray(data),
+                                            jnp.asarray(labels), sub)
+            losses.append(float(loss) * len(labels))
+            hits += int((np.asarray(preds) == labels).sum())
+            count += len(labels)
+        io.cprint("Train %d, loss: %.6f, train acc: %.6f (%.1fs)"
+                  % (epoch, sum(losses) / count, hits / count,
+                     time.time() - t0))
+
+        tl, th, tc = [], 0, 0
+        for data, labels in test_ds.batches(test_batch_size, shuffle=False):
+            loss, preds = eval_step(state.variables, jnp.asarray(data),
+                                    jnp.asarray(labels))
+            tl.append(float(loss) * len(labels))
+            th += int((np.asarray(preds) == labels).sum())
+            tc += len(labels)
+        test_acc = th / tc
+        io.cprint("Test %d, loss: %.6f, test acc: %.6f"
+                  % (epoch, sum(tl) / tc, test_acc))
+
+        if epoch % 10 == 9:
+            save_variables(f"{exp_dir}/models/model_{epoch}.msgpack",
+                           state.variables)
+        if test_acc >= best_test_acc:
+            best_test_acc = test_acc
+            save_variables(f"{exp_dir}/models/model_best.msgpack",
+                           state.variables)
+            io.cprint("#### new best ####")
+    return state, best_test_acc

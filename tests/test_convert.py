@@ -38,6 +38,13 @@ def synth_torch_state(model_name, variables, rng):
             if "bias" in node:
                 state[f"{tprefix}.bias"] = rng.randn(
                     kernel.shape[1]).astype(np.float32)
+        elif kind == "bn_flat":
+            node = _get(params, fpath)
+            c = np.asarray(node["bn_scale"]).shape[0]
+            state[f"{tprefix}.weight"] = rng.rand(c).astype(np.float32) + 0.5
+            state[f"{tprefix}.bias"] = rng.randn(c).astype(np.float32)
+            state[f"{tprefix}.running_mean"] = rng.randn(c).astype(np.float32)
+            state[f"{tprefix}.running_var"] = rng.rand(c).astype(np.float32) + 0.5
         else:
             node = _get(params, fpath)
             c = np.asarray(node["scale"]).shape[0]

@@ -1,0 +1,129 @@
+"""End-to-end pipeline test: FPS partition -> Shapley init -> perturbation
+enumeration -> pair/context generation -> interaction logits -> interaction
+scores -> results tables, all on the synthetic eval set with a random-init
+PointNet at reduced sizes.  Exercises the full artifact chain the reference
+CLIs produce/consume (SURVEY.md §1 schema).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from interpret_quality_tpu.config import ExperimentConfig
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    cwd = os.getcwd()
+    os.chdir(d)
+    yield str(d)
+    os.chdir(cwd)
+
+
+@pytest.fixture(scope="module")
+def cfg(workdir):
+    return ExperimentConfig(
+        model="pointnet", dataset="modelnet10", seed=1,
+        num_points=128, num_samples_save=20, num_samples=10,
+        shapley_batch_size=10, interaction_batch_size=8,
+        checkpoints_root=workdir + "/checkpoints")
+
+
+SAMPLES = [0, 1]
+
+
+def test_full_pipeline(cfg, workdir):
+    from interpret_quality_tpu.attrib.interactions import (
+        run_cal_interactions, run_gen_pair, run_interaction_logits)
+    from interpret_quality_tpu.attrib.stages import (run_enum,
+                                                     run_shapley_init,
+                                                     save_fps)
+    from interpret_quality_tpu.pipeline import resolve_dataset
+    from interpret_quality_tpu.results import (
+        cal_correlation_coef, cal_sensitivity_all_pc,
+        cal_shapley_smoothness_metric_single_pc)
+
+    R = cfg.num_regions
+    S = cfg.num_samples_save
+
+    # ---- stage 1: FPS + Shapley init
+    fps = save_fps(cfg, synthetic=True)
+    assert fps.shape == (30, R)
+    assert (fps[:, 0] == 0).all()
+
+    run_shapley_init(cfg, synthetic=True, allow_random_init=True,
+                     sample_indices=SAMPLES)
+    _, names = resolve_dataset(cfg, synthetic=True)
+    base = cfg.exp_folder + f"{names[0]}/"
+    region_id = np.load(base + "region_id.npy")
+    assert region_id.shape == (cfg.num_points,)
+    orders = np.load(base + "all_orders.npy")
+    assert orders.shape == (S, R)
+    sv_all = np.load(base + "region_sv_all.npy")
+    assert sv_all.shape == (S, R)
+    nf = float(np.load(base + "norm_factor.npy"))
+    # efficiency: every single-order estimate sums to v(N) - v(empty)
+    np.testing.assert_allclose(sv_all.sum(axis=1), nf, atol=5e-3)
+    # snapshots saved
+    assert os.path.exists(base + "region_shapley/0_20.npy") or \
+        os.path.exists(base + "shapley/0_20.npy")
+
+    # ---- stage 2: enumeration (trans + rotate truncated to 4 poses)
+    for mode in ("trans", "rotate"):
+        run_enum(cfg, mode, synthetic=True, allow_random_init=True,
+                 pose_chunk=2, sample_indices=SAMPLES, max_poses=4)
+        sv = np.load(base + f"{mode}_all/region_shapley_value.npy")
+        assert sv.shape == (4, R)
+        assert np.isfinite(sv).all()
+        # all_logits.pt row count: poses x orders x (R+1)
+        from interpret_quality_tpu.utils.io import load_torch_tensor
+        logits = load_torch_tensor(base + f"{mode}_all/all_logits.pt")
+        assert logits.shape[:2] == (4, cfg.num_samples * (R + 1))
+
+    # identity pose: trans grid pose 0 is a pure translation, Shapley values
+    # of a translation-invariant model would match orig; PointNet is not
+    # invariant so just check orig_shapley exists
+    assert os.path.exists(base + "trans_all/orig_shapley_value.npy")
+
+    # ---- stage 3: interactions
+    run_gen_pair(cfg, "rotate", synthetic=True, allow_random_init=True,
+                 ratios=[0.0, 0.1], num_pairs_random=5,
+                 num_save_context_max=4, sample_indices=SAMPLES)
+    inter = base + f"interaction_seed{cfg.seed}/"
+    pairs = np.load(inter + "region_pair_list.npy")
+    assert pairs.shape == (5, 2)
+    ctx = np.load(inter + "ratio10_context_list.npy")
+    assert ctx.shape[0] == 5 and ctx.shape[1] == 4
+    assert os.path.exists(inter + "rotate_adv/transform_params.npy")
+    assert os.path.exists(inter + "rotate_adv/pred_labels.npy")
+
+    run_interaction_logits(cfg, "rotate", synthetic=True,
+                           allow_random_init=True, ratios=[0.0, 0.1],
+                           sample_indices=SAMPLES)
+    lg = __import__("interpret_quality_tpu.utils.io",
+                    fromlist=["load_torch_tensor"]).load_torch_tensor(
+        inter + "normal/ratio10_all_logits.pt")
+    assert lg.shape == (5, 16, 10)          # pairs x 4*contexts x classes
+
+    run_cal_interactions(cfg, "rotate", synthetic=True, output_type="pred",
+                         ratios=[0.0, 0.1], sample_indices=SAMPLES)
+    inter_scores = np.load(inter + "normal/ratio10_pred_interaction.npy")
+    assert inter_scores.shape == (5, 4)
+    assert np.isfinite(inter_scores).all()
+
+    # ---- stage 4: results tables over the 2 processed samples
+    sel_names = [names[i] for i in SAMPLES]
+    sens = cal_sensitivity_all_pc(cfg, "trans", sel_names)
+    assert sens.shape == (2, R)
+    assert np.isfinite(sens).all()
+    mean_r, std_r = cal_correlation_coef(cfg, "rotate", sel_names)
+    assert -1 <= mean_r <= 1
+
+    from interpret_quality_tpu.pipeline import resolve_dataset as rd
+    dataset, _ = rd(cfg, synthetic=True)
+    data, _ = dataset[0]
+    sv = np.load(base + "trans_all/region_shapley_value.npy")
+    metric, per_pose, denom = cal_shapley_smoothness_metric_single_pc(
+        np.asarray(data), sv, region_id, R)
+    assert np.isfinite(metric) and per_pose.shape == (4,)

@@ -1,0 +1,79 @@
+"""Smoothness-optimiser tests against host numpy PCA oracles."""
+import jax.numpy as jnp
+import numpy as np
+
+from interpret_quality_tpu.attrib.smoothness import (
+    principal_orientations, region_smoothness_np, smoothness_step,
+    update_region)
+
+
+def _line_cloud(rng, n=40, noise=0.01):
+    """Points along a line: high linearity."""
+    t = rng.rand(n, 1)
+    return (t * np.array([[1.0, 0.2, -0.1]])
+            + noise * rng.randn(n, 3)).astype(np.float32)
+
+
+def test_principal_orientations_orthonormal_and_ordered():
+    rng = np.random.RandomState(0)
+    pts = rng.randn(50, 3).astype(np.float32) * np.array([3.0, 1.0, 0.2])
+    o1, o2, o3 = principal_orientations(pts)
+    for o in (o1, o2, o3):
+        assert abs(np.linalg.norm(o) - 1) < 1e-5
+    v = [np.var(pts @ o, ddof=1) for o in (o1, o2, o3)]
+    assert v[0] >= v[1] >= v[2]
+    # dominant direction ~ x
+    assert abs(o1[0]) > 0.9
+
+
+def test_region_smoothness_values():
+    rng = np.random.RandomState(1)
+    line = _line_cloud(rng)
+    lin = region_smoothness_np(line, "linearity")
+    sca = region_smoothness_np(line, "scattering")
+    assert lin > 0.9 and sca < 0.1
+    ball = rng.randn(60, 3).astype(np.float32)
+    assert region_smoothness_np(ball, "scattering") > 0.3
+
+
+def test_smoothness_step_moves_objective():
+    rng = np.random.RandomState(2)
+    N = 64
+    cloud = rng.randn(N, 3).astype(np.float32)
+    mask = np.zeros(N, np.float32)
+    mask[:24] = 1.0
+    pts = cloud[:24]
+    o1, o2, o3 = principal_orientations(pts)
+    v = np.array([np.var(pts @ o, ddof=1) for o in (o1, o2, o3)])
+    bounds = np.stack([v + 10.0, v - 10.0])     # bounds inactive
+    s0 = region_smoothness_np(pts, "linearity")
+    data = jnp.asarray(cloud)
+    for _ in range(20):
+        data, s, count, oob = smoothness_step(
+            data, jnp.asarray(cloud), jnp.asarray(mask),
+            jnp.asarray(np.stack([o1, o2, o3])), jnp.asarray(bounds),
+            "linearity", "inc")
+    assert not bool(oob)
+    # masked points moved, unmasked untouched
+    out = np.asarray(data)
+    assert np.abs(out[24:] - cloud[24:]).max() == 0
+    assert float(s) > s0 - 1e-6
+
+
+def test_update_region_respects_distance_bound():
+    rng = np.random.RandomState(3)
+    N = 48
+    cloud = rng.randn(N, 3).astype(np.float32)
+    mask = np.zeros(N, np.float32)
+    mask[:20] = 1.0
+    pts = cloud[:20]
+    o1, o2, o3 = principal_orientations(pts)
+    v = np.array([np.var(pts @ o, ddof=1) for o in (o1, o2, o3)])
+    bounds = np.stack([v + 10.0, v - 10.0])
+    s0 = region_smoothness_np(pts, "scattering")
+    new, s, if_update = update_region(
+        cloud, cloud, mask, np.stack([o1, o2, o3]), bounds, s0,
+        "scattering", "inc")
+    disp = np.linalg.norm(new - cloud, axis=1)
+    assert disp.max() <= 0.03 + 1e-5
+    assert disp[20:].max() == 0.0
