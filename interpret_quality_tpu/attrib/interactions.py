@@ -304,6 +304,9 @@ def run_interaction_logits(cfg: ExperimentConfig, mode_name: str = "rotate",
 
         def save_all_orders(cloud, save_path):
             pair_list = np.load(save_path + "../region_pair_list.npy")
+            if pair_list.size == 0:   # region with no ball-query neighbours
+                print(f"  {save_path}: no pairs, skipping")
+                return
             for ratio in ratios:
                 t0 = time.time()
                 ctx = np.load(save_path

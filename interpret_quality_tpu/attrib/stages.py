@@ -91,9 +91,10 @@ def run_shapley_init(cfg: ExperimentConfig, synthetic: bool = False,
         save_npy(result_path + "region_sv_all.npy", per_order)
 
         cumsum = np.cumsum(per_order, axis=0)          # (S, R)
-        for count in SNAPSHOT_COUNTS:
-            if count > cfg.num_samples_save:
-                break
+        counts = [c for c in SNAPSHOT_COUNTS if c <= cfg.num_samples_save]
+        if cfg.num_samples_save not in counts:
+            counts.append(cfg.num_samples_save)   # always snapshot the final
+        for count in counts:
             _save_snapshot(cumsum[count - 1], i, count, result_path,
                            region_id, cfg)
         print(f"[shapley_init] {names[i]}: {cfg.num_samples_save} orders in "

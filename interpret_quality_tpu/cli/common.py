@@ -33,10 +33,19 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "(0 = single device)")
     p.add_argument("--resume", action="store_true",
                    help="skip samples whose stage artifacts already exist")
+    p.add_argument("--matmul_precision", type=str, default="highest",
+                   choices=["default", "high", "highest"],
+                   help="TPU matmul precision; 'highest' (fp32-accurate) "
+                        "matches the reference's CUDA fp32 numerics, "
+                        "'default' (bf16 passes) trades accuracy for speed")
     return p
 
 
 def config_from_args(args) -> ExperimentConfig:
+    if getattr(args, "matmul_precision", "default") != "default":
+        import jax
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
     return ExperimentConfig(
         model=args.model, dataset=args.dataset, seed=args.seed,
         softmax_type=args.softmax_type, model_path=args.model_path,

@@ -173,16 +173,25 @@ class _TrainBase:
         return pc.astype(np.float32), label
 
     def batches(self, batch_size: int, shuffle: bool = True,
-                rng: Optional[np.random.RandomState] = None
-                ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+                rng: Optional[np.random.RandomState] = None,
+                pad_last: bool = True
+                ) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
+        """Yield (data, labels, valid_count).  The ragged tail batch is
+        padded to `batch_size` by repeating its last item so every device
+        step has the same compiled shape; `valid_count` tells the consumer
+        how many rows are real."""
         idx = np.arange(len(self))
         if shuffle:
             (rng if rng is not None else np.random).shuffle(idx)
         for i in range(0, len(idx), batch_size):
             chunk = idx[i:i + batch_size]
+            valid = len(chunk)
+            if pad_last and valid < batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], batch_size - valid)])
             data = np.stack([self[j][0] for j in chunk])
             labels = np.array([self[j][1] for j in chunk], np.int32)
-            yield data, labels
+            yield data, labels, valid
 
 
 class ModelNetTrain(_TrainBase):

@@ -179,36 +179,38 @@ def fit_adversarial(model, variables, model_name: str, train_ds, test_ds, *,
     for epoch in range(epochs):
         t0 = time.time()
         losses, hits, count = [], 0, 0
-        for data, labels in train_ds.batches(batch_size):
+        for data, labels, valid in train_ds.batches(batch_size):
             rng, sub = jax.random.split(rng)
             state, loss, p1, p2 = adv_step(state, jnp.asarray(data),
                                            jnp.asarray(labels), sub)
-            losses.append(float(loss) * len(labels))
-            hits += int((np.asarray(p1) == labels).sum()
-                        + (np.asarray(p2) == labels).sum())
-            count += 2 * len(labels)
+            losses.append(float(loss) * valid)
+            hits += int((np.asarray(p1)[:valid] == labels[:valid]).sum()
+                        + (np.asarray(p2)[:valid] == labels[:valid]).sum())
+            count += 2 * valid
         io.cprint("Train %d, loss: %.6f, train acc: %.6f (%.1fs)"
                   % (epoch, sum(losses) / count, hits / count,
                      time.time() - t0))
 
         # clean test
         th, tc = 0, 0
-        for data, labels in test_ds.batches(test_batch_size, shuffle=False):
+        for data, labels, valid in test_ds.batches(test_batch_size,
+                                                   shuffle=False):
             _, preds = eval_step(state.variables, jnp.asarray(data),
                                  jnp.asarray(labels))
-            th += int((np.asarray(preds) == labels).sum())
-            tc += len(labels)
+            th += int((np.asarray(preds)[:valid] == labels[:valid]).sum())
+            tc += valid
         test_acc = th / tc
         io.cprint("Test %d, test acc: %.6f" % (epoch, test_acc))
 
         # random-rotation robustness eval
         rh, rc = 0, 0
-        for data, labels in test_ds.batches(test_batch_size, shuffle=False):
+        for data, labels, valid in test_ds.batches(test_batch_size,
+                                                   shuffle=False):
             rng, sub = jax.random.split(rng)
             rot = random_rotation_eval_batch(sub, jnp.asarray(data))
             _, preds = eval_step(state.variables, rot, jnp.asarray(labels))
-            rh += int((np.asarray(preds) == labels).sum())
-            rc += len(labels)
+            rh += int((np.asarray(preds)[:valid] == labels[:valid]).sum())
+            rc += valid
         io.cprint("Test adv %d, rot-robust acc: %.6f" % (epoch, rh / rc))
 
         if epoch % 10 == 9:

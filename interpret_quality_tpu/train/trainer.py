@@ -133,24 +133,25 @@ def fit(model, variables, model_name: str, train_ds, test_ds, *,
     for epoch in range(epochs):
         t0 = time.time()
         losses, hits, count = [], 0, 0
-        for data, labels in train_ds.batches(batch_size):
+        for data, labels, valid in train_ds.batches(batch_size):
             rng, sub = jax.random.split(rng)
             state, loss, preds = train_step(state, jnp.asarray(data),
                                             jnp.asarray(labels), sub)
-            losses.append(float(loss) * len(labels))
-            hits += int((np.asarray(preds) == labels).sum())
-            count += len(labels)
+            losses.append(float(loss) * valid)
+            hits += int((np.asarray(preds)[:valid] == labels[:valid]).sum())
+            count += valid
         io.cprint("Train %d, loss: %.6f, train acc: %.6f (%.1fs)"
                   % (epoch, sum(losses) / count, hits / count,
                      time.time() - t0))
 
         tl, th, tc = [], 0, 0
-        for data, labels in test_ds.batches(test_batch_size, shuffle=False):
+        for data, labels, valid in test_ds.batches(test_batch_size,
+                                                   shuffle=False):
             loss, preds = eval_step(state.variables, jnp.asarray(data),
                                     jnp.asarray(labels))
-            tl.append(float(loss) * len(labels))
-            th += int((np.asarray(preds) == labels).sum())
-            tc += len(labels)
+            tl.append(float(loss) * valid)
+            th += int((np.asarray(preds)[:valid] == labels[:valid]).sum())
+            tc += valid
         test_acc = th / tc
         io.cprint("Test %d, loss: %.6f, test acc: %.6f"
                   % (epoch, sum(tl) / tc, test_acc))

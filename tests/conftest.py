@@ -1,19 +1,22 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so that
-multi-chip sharding paths are exercised without TPU hardware."""
+multi-chip sharding paths are exercised without TPU hardware.
+
+This environment's site hook (axon PJRT plugin) force-registers the TPU
+tunnel backend and overrides jax_platforms to "axon,cpu" in every
+interpreter, so neither JAX_PLATFORMS nor XLA_FLAGS env vars are honoured —
+the config must be overridden after `import jax`, before any backend
+initialises.  The tunnel admits a single client; tests must never touch it.
+"""
 import faulthandler
 import os
 import sys
 
-# Force CPU: the ambient environment pins JAX_PLATFORMS to the single-client
-# TPU tunnel ('axon'); tests must run on the virtual 8-device CPU mesh and
-# must never contend for the tunnel.
-os.environ["JAX_PLATFORMS"] = "cpu"
-
-# dump all thread stacks if anything wedges
-faulthandler.dump_traceback_later(600, repeat=True)
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+faulthandler.dump_traceback_later(900, repeat=True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu"

@@ -102,7 +102,7 @@ def make_additive_forward(region_id, weights, center, num_class=4, label=1):
     R = weights.shape[0]
 
     def forward(x):                                    # (B, N, 3)
-        away = jnp.any(jnp.abs(x - center) > 1e-6, axis=-1).astype(jnp.float32)
+        away = jnp.any(jnp.abs(x - center) > 1e-3, axis=-1).astype(jnp.float32)
         onehot = jax.nn.one_hot(region_id, R)          # (N, R)
         counts = jnp.sum(onehot, axis=0)               # (R,)
         frac = (away @ onehot) / counts                # (B, R) fraction unmasked
@@ -152,7 +152,7 @@ def test_shapley_linear_reward_recovers_weights():
     center_j = jnp.asarray(center)
 
     def forward(x):
-        away = jnp.any(jnp.abs(x - center_j) > 1e-6, axis=-1).astype(jnp.float32)
+        away = jnp.any(jnp.abs(x - center_j) > 1e-3, axis=-1).astype(jnp.float32)
         onehot = jax.nn.one_hot(region_id_j, R)
         counts = jnp.sum(onehot, axis=0)
         frac = (away @ onehot) / counts

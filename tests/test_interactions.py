@@ -25,7 +25,7 @@ def _pairwise_forward(region_id, R, center, w_pair, pair):
     i, j = pair
 
     def forward(x):
-        away = jnp.any(jnp.abs(x - center_j) > 1e-6, axis=-1).astype(jnp.float32)
+        away = jnp.any(jnp.abs(x - center_j) > 1e-3, axis=-1).astype(jnp.float32)
         onehot = jax.nn.one_hot(region_id, R)
         frac = (away @ onehot) / jnp.sum(onehot, axis=0)   # (B, R)
         score = frac @ weights + w_pair * frac[:, i] * frac[:, j]

@@ -14,7 +14,7 @@ def _toy_forward(region_id, R, center):
     center_j = jnp.asarray(center)
 
     def forward(x):
-        away = jnp.any(jnp.abs(x - center_j) > 1e-6, axis=-1).astype(jnp.float32)
+        away = jnp.any(jnp.abs(x - center_j) > 1e-3, axis=-1).astype(jnp.float32)
         onehot = jax.nn.one_hot(region_id, R)
         frac = (away @ onehot) / jnp.sum(onehot, axis=0)
         score = frac @ jnp.arange(1.0, R + 1.0)
