@@ -36,7 +36,17 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.geometry import knn
+from ..ops.pallas import gather_extrema, knn_gather_extrema, knn_pallas
 from .common import BN_EPS, BN_MOMENTUM, ConvBN, leaky_relu02
+
+_TPU_BACKENDS = ("tpu", "axon")
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in _TPU_BACKENDS
+    except Exception:
+        return False
 
 
 def graph_feature(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -65,11 +75,25 @@ class EdgeConv(nn.Module):
     batch_stats: bn_mean, bn_var.
     """
     features: int
+    k: int = 20
 
     @nn.compact
-    def __call__(self, x, idx, train: bool = False):
+    def __call__(self, x, idx=None, graph_feat=None, train: bool = False,
+                 fused: bool = False):
+        """Eval path selects by arguments:
+
+          * ``idx`` + ``fused=False`` — XLA hoisted-matmul gather loop;
+          * ``idx`` + ``fused=True``  — Pallas one-hot-matmul gather
+            (fixed graph / GCNN);
+          * ``graph_feat`` + ``fused=True`` — fully fused Pallas
+            kNN-selection + gather (dynamic graph / DGCNN); the distance
+            matrix never leaves VMEM.
+
+        The fused Pallas paths are not differentiable — the BIM attack and
+        training use the XLA path.
+        """
         B, N, C = x.shape
-        k = idx.shape[-1]
+        k = idx.shape[-1] if idx is not None else self.k
         F = self.features
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (2 * C, F))
@@ -95,17 +119,22 @@ class EdgeConv(nn.Module):
             y = y * scale + bias
             return jnp.max(leaky_relu02(y), axis=2)
 
-        # ---- fused eval path: matmul hoisted above the gather ----
+        # ---- eval path: matmul hoisted above the gather ----
         w1 = kernel[:C]
         w2 = kernel[C:]
         a = x @ w1                                       # (B, N, F)
         b = x @ (w2 - w1)                                # (B, N, F)
-        amax = jnp.full_like(a, -jnp.inf)
-        amin = jnp.full_like(a, jnp.inf)
-        for j in range(k):
-            g = _gather_rows(a, idx[..., j])
-            amax = jnp.maximum(amax, g)
-            amin = jnp.minimum(amin, g)
+        if fused and graph_feat is not None:
+            amax, amin = knn_gather_extrema(graph_feat, a, k)
+        elif fused:
+            amax, amin = gather_extrema(idx, a)
+        else:
+            amax = jnp.full_like(a, -jnp.inf)
+            amin = jnp.full_like(a, jnp.inf)
+            for j in range(k):
+                g = _gather_rows(a, idx[..., j])
+                amax = jnp.maximum(amax, g)
+                amin = jnp.minimum(amin, g)
         alpha = scale * jax.lax.rsqrt(ra_var.value + BN_EPS)
         beta = bias - alpha * ra_mean.value
         m_ext = b + jnp.where(alpha > 0, amax, amin)
@@ -118,16 +147,37 @@ class _DGCNNBase(nn.Module):
     dynamic_graph: bool = True   # True: DGCNN, False: GCNN (fixed input graph)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        # x: (B, N, 3)
-        fix_idx = knn(x, self.k)
-        x1 = EdgeConv(64, name="conv1")(x, fix_idx, train=train)
-        idx2 = knn(x1, self.k) if self.dynamic_graph else fix_idx
-        x2 = EdgeConv(64, name="conv2")(x1, idx2, train=train)
-        idx3 = knn(x2, self.k) if self.dynamic_graph else fix_idx
-        x3 = EdgeConv(128, name="conv3")(x2, idx3, train=train)
-        idx4 = knn(x3, self.k) if self.dynamic_graph else fix_idx
-        x4 = EdgeConv(256, name="conv4")(x3, idx4, train=train)
+    def __call__(self, x, train: bool = False, fused=None):
+        # x: (B, N, 3).  fused=None auto-selects the Pallas neighbour
+        # kernels on TPU eval (they are not differentiable; the BIM attack
+        # passes fused=False explicitly).
+        if fused is None:
+            fused = (not train) and _on_tpu()
+        convs = [EdgeConv(f, k=self.k, name=n) for f, n in
+                 [(64, "conv1"), (64, "conv2"), (128, "conv3"),
+                  (256, "conv4")]]
+        if fused and self.dynamic_graph:
+            # graph recomputed in feature space before each layer; the
+            # distance matrix + selection + gather all stay in VMEM.
+            x1 = convs[0](x, graph_feat=x, fused=True)
+            x2 = convs[1](x1, graph_feat=x1, fused=True)
+            x3 = convs[2](x2, graph_feat=x2, fused=True)
+            x4 = convs[3](x3, graph_feat=x3, fused=True)
+        elif fused:
+            fix_idx = knn_pallas(x, x, self.k)
+            x1 = convs[0](x, fix_idx, fused=True)
+            x2 = convs[1](x1, fix_idx, fused=True)
+            x3 = convs[2](x2, fix_idx, fused=True)
+            x4 = convs[3](x3, fix_idx, fused=True)
+        else:
+            fix_idx = knn(x, self.k)
+            x1 = convs[0](x, fix_idx, train=train)
+            idx2 = knn(x1, self.k) if self.dynamic_graph else fix_idx
+            x2 = convs[1](x1, idx2, train=train)
+            idx3 = knn(x2, self.k) if self.dynamic_graph else fix_idx
+            x3 = convs[2](x2, idx3, train=train)
+            idx4 = knn(x3, self.k) if self.dynamic_graph else fix_idx
+            x4 = convs[3](x3, idx4, train=train)
 
         x = jnp.concatenate([x1, x2, x3, x4], axis=-1)   # (B, N, 512)
         x = ConvBN(1024, use_bias=False, act=leaky_relu02,

@@ -1,0 +1,248 @@
+"""Fused kNN + neighbour-gather Pallas TPU kernels.
+
+The edge-conv family's eval-path hot loop is: build a kNN graph (pairwise
+distances + top-k) and take per-point extrema of value rows over the
+neighbours.  On TPU, XLA's `top_k` over (B, 1024, 1024) costs ~130 ms at
+coalition batch 330 and the 20-step row gather another ~120 ms per layer
+(measured, scripts/tpu_micro.py) — together >95% of DGCNN/GCNN inference.
+
+This kernel never materialises the (B, N, N) distance matrix in HBM and
+never performs an XLA gather:
+
+  * the distance tile (Q, N) is computed on the MXU and lives in VMEM;
+  * k-selection is an iterative (min, mask) sweep in VMEM — exact top-k
+    with `jax.lax.top_k` tie semantics (lowest index first);
+  * the row gather is a one-hot (Q, N) @ (N, F) matmul — it rides the MXU
+    instead of the scalar gather unit;
+  * values are carried as a bf16 hi/lo pair, so the gathered rows are exact
+    to ~2^-16 relative (one-hot matmuls touch exactly one row).
+
+Replaces the reference's `knn` + `get_graph_feature` pipeline
+(reference models/dgcnn.py:12-47) on the TPU compute path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30   # python float: jnp scalars would be captured consts in kernels
+
+
+def _split_hilo(a: jnp.ndarray):
+    """f32 -> (hi, lo) bf16 pair with hi + lo ≈ a to ~16 mantissa bits."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dist_tile(xq, xdb_t):
+    """Squared-distance tile: xq (Q, C) f32, xdb_t (C, N) f32 -> (Q, N)."""
+    inner = jax.lax.dot_general(
+        xq, xdb_t, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    q2 = jnp.sum(xq * xq, axis=1, keepdims=True)          # (Q, 1)
+    d2 = jnp.sum(xdb_t * xdb_t, axis=0, keepdims=True)    # (1, N)
+    return q2 - 2.0 * inner + d2
+
+
+def _select_min(dist, col):
+    """One exact arg-min step with lowest-index tie break.
+
+    Returns (onehot (Q, N) bool, dist with the selected lane masked out).
+    """
+    n = dist.shape[1]
+    rowmin = jnp.min(dist, axis=1, keepdims=True)
+    sel = jnp.min(jnp.where(dist == rowmin, col, n), axis=1, keepdims=True)
+    onehot = col == sel
+    return onehot, jnp.where(onehot, _BIG, dist)
+
+
+def _extrema_kernel(xq_ref, xdbt_ref, ahi_ref, alo_ref,
+                    omax_ref, omin_ref, *, k: int):
+    dist = _dist_tile(xq_ref[0], xdbt_ref[0])
+    q, n = dist.shape
+    f = ahi_ref.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
+    ahi, alo = ahi_ref[0], alo_ref[0]
+
+    amax = jnp.full((q, f), -_BIG, jnp.float32)
+    amin = jnp.full((q, f), _BIG, jnp.float32)
+    for _ in range(k):
+        onehot, dist = _select_min(dist, col)
+        oh = onehot.astype(jnp.bfloat16)
+        g = (jnp.dot(oh, ahi, preferred_element_type=jnp.float32)
+             + jnp.dot(oh, alo, preferred_element_type=jnp.float32))
+        amax = jnp.maximum(amax, g)
+        amin = jnp.minimum(amin, g)
+    omax_ref[0] = amax
+    omin_ref[0] = amin
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "block_q", "interpret"))
+def knn_gather_extrema(xs: jnp.ndarray, a: jnp.ndarray, k: int,
+                       block_q: int = 256, interpret: bool = False):
+    """Per-point extrema of value rows over the k nearest neighbours.
+
+    Args:
+      xs: (B, N, C) float32 — features defining the kNN graph (self included,
+          exact `jax.lax.top_k` tie semantics).
+      a:  (B, N, F) float32 — value rows to gather.
+      k:  neighbourhood size.
+    Returns:
+      (amax, amin): (B, N, F) float32 each;
+      amax[b, i] = max over j in kNN(i) of a[b, j] (elementwise), etc.
+    """
+    B, N, C = xs.shape
+    F = a.shape[-1]
+    bq = min(block_q, N)
+    assert N % bq == 0, (N, bq)
+    xs = xs.astype(jnp.float32)
+    xs_t = jnp.swapaxes(xs, 1, 2)                          # (B, C, N)
+    ahi, alo = _split_hilo(a.astype(jnp.float32))
+
+    kernel = functools.partial(_extrema_kernel, k=k)
+    out_shape = jax.ShapeDtypeStruct((B, N, F), jnp.float32)
+    omax, omin = pl.pallas_call(
+        kernel,
+        grid=(B, N // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, C), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, N), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, F), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, F), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, F), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, F), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(out_shape, out_shape),
+        interpret=interpret,
+    )(xs, xs_t, ahi, alo)
+    return omax, omin
+
+
+def _idx_extrema_kernel(idx_ref, ahi_ref, alo_ref, omax_ref, omin_ref,
+                        *, k: int):
+    q = idx_ref.shape[1]
+    n = ahi_ref.shape[1]
+    f = ahi_ref.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
+    ahi, alo = ahi_ref[0], alo_ref[0]
+    amax = jnp.full((q, f), -_BIG, jnp.float32)
+    amin = jnp.full((q, f), _BIG, jnp.float32)
+    for j in range(k):
+        sel = idx_ref[0, :, j:j + 1]                       # (Q, 1) int32
+        oh = (col == sel).astype(jnp.bfloat16)
+        g = (jnp.dot(oh, ahi, preferred_element_type=jnp.float32)
+             + jnp.dot(oh, alo, preferred_element_type=jnp.float32))
+        amax = jnp.maximum(amax, g)
+        amin = jnp.minimum(amin, g)
+    omax_ref[0] = amax
+    omin_ref[0] = amin
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def gather_extrema(idx: jnp.ndarray, a: jnp.ndarray,
+                   block_q: int = 256, interpret: bool = False):
+    """Per-point extrema of value rows over precomputed neighbour indices.
+
+    The fixed-graph (GCNN) companion of `knn_gather_extrema`: the kNN graph
+    is computed once from the input coordinates and reused by every layer
+    (reference models/dgcnn.py:161-194), so only the gather is fused here.
+
+    Args:
+      idx: (B, N, k) int32 neighbour indices.
+      a:   (B, N, F) float32 value rows.
+    Returns:
+      (amax, amin): (B, N, F) float32.
+    """
+    B, N, k = idx.shape
+    F = a.shape[-1]
+    bq = min(block_q, N)
+    assert N % bq == 0, (N, bq)
+    ahi, alo = _split_hilo(a.astype(jnp.float32))
+
+    kernel = functools.partial(_idx_extrema_kernel, k=k)
+    out_shape = jax.ShapeDtypeStruct((B, N, F), jnp.float32)
+    omax, omin = pl.pallas_call(
+        kernel,
+        grid=(B, N // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, k), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, F), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, F), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, F), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, F), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(out_shape, out_shape),
+        interpret=interpret,
+    )(idx, ahi, alo)
+    return omax, omin
+
+
+def _knn_kernel(xq_ref, xdbt_ref, oidx_ref, *, k: int):
+    dist = _dist_tile(xq_ref[0], xdbt_ref[0])
+    q, n = dist.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
+    for j in range(k):
+        rowmin = jnp.min(dist, axis=1, keepdims=True)
+        sel = jnp.min(jnp.where(dist == rowmin, col, n),
+                      axis=1, keepdims=True)               # (Q, 1)
+        onehot = col == sel
+        dist = jnp.where(onehot, _BIG, dist)
+        oidx_ref[0, :, j] = sel[:, 0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "block_q", "interpret"))
+def knn_pallas(query: jnp.ndarray, database: jnp.ndarray, k: int,
+               block_q: int = 256, interpret: bool = False) -> jnp.ndarray:
+    """Exact k-nearest-neighbour indices (fused distance + selection).
+
+    Args:
+      query: (B, S, C); database: (B, N, C).
+    Returns:
+      (B, S, k) int32 — indices into the database, `jax.lax.top_k`
+      tie semantics (lowest index first).
+    """
+    B, S, C = query.shape
+    N = database.shape[1]
+    bq = min(block_q, S)
+    assert S % bq == 0, (S, bq)
+    db_t = jnp.swapaxes(database.astype(jnp.float32), 1, 2)
+
+    kernel = functools.partial(_knn_kernel, k=k)
+    idx = pl.pallas_call(
+        kernel,
+        grid=(B, S // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, C), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, N), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, k), lambda b, q: (b, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, k), jnp.int32),
+        interpret=interpret,
+    )(query.astype(jnp.float32), db_t)
+    return idx

@@ -102,10 +102,15 @@ def make_adv_batch_fn(model, rot_kwargs: Optional[dict] = None,
     rot_kwargs = rot_kwargs or {}
     trans_kwargs = trans_kwargs or {}
 
+    # The DGCNN family's fused Pallas eval path is not differentiable;
+    # force the XLA path inside the attack's grad.
+    from ..models.dgcnn import _DGCNNBase
+    apply_kwargs = {"fused": False} if isinstance(model, _DGCNNBase) else {}
+
     @jax.jit
     def gen(variables, data, labels):
         def loss_of_cloud(clouds, lbls):
-            out = model.apply(variables, clouds, train=False)
+            out = model.apply(variables, clouds, train=False, **apply_kwargs)
             logits = out[0] if isinstance(out, tuple) else out
             return cal_loss(logits, lbls, smoothing=True)
 
