@@ -25,3 +25,31 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compile_cache():
+    """Persistent XLA/Mosaic compilation cache.
+
+    Coalition-batch programs take minutes to compile on the first run (the
+    Mosaic kernels are AOT-compiled through the TPU tunnel); the persistent
+    cache makes every later process start instant.  Verified to work through
+    the axon remote-compile path.
+    """
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "IQTPU_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"))
+        if cache_dir and cache_dir != "0":
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+    except Exception:         # never block import on cache plumbing
+        pass
+
+
+_enable_compile_cache()

@@ -72,7 +72,7 @@ DATASET_NAMES = ["modelnet10", "shapenet"]
 # ---------------------------------------------------------------------------
 CONFIG = {
     "shapley_batch_size": {
-        "pointnet2": 10,
+        "pointnet2": 20,  # fused SA kernels; persistent compile cache
         "pointnet": 100,
         "dgcnn": 30,      # fused Pallas edge-conv: VMEM use is batch-invariant
         "gcnn": 30,       # and throughput rises ~18% from 10 -> 30 (measured)

@@ -37,16 +37,9 @@ import jax.numpy as jnp
 
 from ..ops.geometry import knn
 from ..ops.pallas import gather_extrema, knn_gather_extrema, knn_pallas
-from .common import BN_EPS, BN_MOMENTUM, ConvBN, leaky_relu02
+from .common import BN_EPS, BN_MOMENTUM, ConvBN, leaky_relu02, on_tpu
 
-_TPU_BACKENDS = ("tpu", "axon")
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() in _TPU_BACKENDS
-    except Exception:
-        return False
+_on_tpu = on_tpu
 
 
 def graph_feature(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from ..ops.geometry import (compute_density, farthest_point_sample,
                             index_points, knn_point)
-from .common import BN_EPS, BN_MOMENTUM, MLPStack
+from ..ops.pallas import fps_pallas, gather_rows, knn_pallas
+from .common import BN_EPS, BN_MOMENTUM, MLPStack, on_tpu
 
 
 class DensityNet(nn.Module):
@@ -56,16 +57,19 @@ class PointConvDensitySA(nn.Module):
     group_all: bool = False
 
     @nn.compact
-    def __call__(self, xyz, points, train: bool = False):
+    def __call__(self, xyz, points, train: bool = False, fused: bool = False):
         """
         Args:
           xyz: (B, N, 3); points: (B, N, D) or None.
+          fused: use the Pallas kNN + one-hot-matmul gather path with the
+            first MLP layer hoisted above the gather (eval only).
         Returns:
           new_xyz (B, S, 3), new_points (B, S, mlp[-1]).
         """
         B, N, _ = xyz.shape
         density = compute_density(xyz, self.bandwidth)            # (B, N)
         inv_density = 1.0 / density
+        mlp = MLPStack(self.mlp, name="mlp")
 
         if self.group_all:
             S = 1
@@ -76,6 +80,32 @@ class PointConvDensitySA(nn.Module):
                 grouped = jnp.concatenate(
                     [grouped_xyz, points[:, None, :, :]], axis=-1)
             grouped_density = inv_density[:, None, :, None]       # (B, 1, N, 1)
+            h = mlp(grouped, train=train)                         # (B, 1, N, C)
+        elif fused:
+            S = self.npoint
+            K = self.nsample
+            D = 0 if points is None else points.shape[-1]
+            fps_idx = fps_pallas(xyz, S, block_b=16)
+            new_xyz = index_points(xyz, fps_idx)                  # (B, S, 3)
+            idx = knn_pallas(new_xyz, xyz, K)                     # (B, S, K)
+            # hoist MLP layer 1 above the gather (BN folded; input order is
+            # [xyz offsets, features] — reference pointconv.py:137)
+            folded = mlp(fold=True, c_in=D + 3)
+            (A1, b1) = folded[0]
+            src = (xyz if points is None
+                   else jnp.concatenate([xyz, points], -1))
+            u = src @ A1 + b1                                     # (B, N, C1)
+            csw = new_xyz @ A1[:3]                                # (B, S, C1)
+            # one combined gather: [u | xyz | inv_density]
+            vals = jnp.concatenate(
+                [u, xyz, inv_density[..., None]], axis=-1)
+            g = gather_rows(vals, idx)                            # (B,S,K,C1+4)
+            C1 = u.shape[-1]
+            h = jnp.maximum(g[..., :C1] - csw[:, :, None, :], 0.0)
+            for (A, b) in folded[1:]:
+                h = jnp.maximum(h @ A + b, 0.0)                   # (B, S, K, C)
+            grouped_xyz = g[..., C1:C1 + 3] - new_xyz[:, :, None, :]
+            grouped_density = g[..., C1 + 3:C1 + 4]               # (B, S, K, 1)
         else:
             S = self.npoint
             fps_idx = farthest_point_sample(xyz, S)
@@ -89,8 +119,7 @@ class PointConvDensitySA(nn.Module):
                 grouped = jnp.concatenate([grouped_xyz, grouped_points], -1)
             grouped_density = index_points(
                 inv_density[..., None], idx)                      # (B, S, K, 1)
-
-        h = MLPStack(self.mlp, name="mlp")(grouped, train=train)  # (B, S, K, C)
+            h = mlp(grouped, train=train)                         # (B, S, K, C)
 
         inv_max = jnp.max(grouped_density, axis=2, keepdims=True)
         density_scale = DensityNet(name="densitynet")(
@@ -115,16 +144,20 @@ class PointConvDensityClsSsg(nn.Module):
     num_classes: int = 10
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, fused=None):
+        # fused=None auto-selects the Pallas kNN/gather path on TPU eval
+        # (not differentiable).
+        if fused is None:
+            fused = (not train) and on_tpu()
         l1_xyz, l1_points = PointConvDensitySA(
             512, 32, [64, 64, 128], 0.1, group_all=False,
-            name="sa1")(x, None, train=train)
+            name="sa1")(x, None, train=train, fused=fused)
         l2_xyz, l2_points = PointConvDensitySA(
             128, 64, [128, 128, 256], 0.2, group_all=False,
-            name="sa2")(l1_xyz, l1_points, train=train)
+            name="sa2")(l1_xyz, l1_points, train=train, fused=fused)
         _, l3_points = PointConvDensitySA(
             None, None, [256, 512, 1024], 0.4, group_all=True,
-            name="sa3")(l2_xyz, l2_points, train=train)
+            name="sa3")(l2_xyz, l2_points, train=train, fused=fused)
 
         h = l3_points[:, 0, :] if l3_points.ndim == 3 else l3_points
         h = nn.Dense(512, name="fc1")(h)

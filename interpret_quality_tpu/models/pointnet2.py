@@ -16,7 +16,8 @@ import jax.numpy as jnp
 
 from ..ops.geometry import (farthest_point_sample, index_points,
                             query_ball_point)
-from .common import MLPStack
+from ..ops.pallas import fps_pallas, fused_ball_mlp3
+from .common import MLPStack, on_tpu
 
 
 class SetAbstractionMsg(nn.Module):
@@ -26,21 +27,39 @@ class SetAbstractionMsg(nn.Module):
     mlp_list: Sequence[Sequence[int]]
 
     @nn.compact
-    def __call__(self, xyz, points, train: bool = False):
+    def __call__(self, xyz, points, train: bool = False, fused: bool = False):
         """
         Args:
           xyz: (B, N, 3) coordinates.
           points: (B, N, D) features or None.
+          fused: use the Pallas fused ball-query + grouped-MLP kernel
+            (eval only; the grouped (B, S, K, C) tensor never exists).
         Returns:
           new_xyz (B, S, 3), new_points (B, S, sum of last mlp dims).
         """
         S = self.npoint
-        fps_idx = farthest_point_sample(xyz, S)
+        if fused:
+            fps_idx = fps_pallas(xyz, S, block_b=16)
+        else:
+            fps_idx = farthest_point_sample(xyz, S)
         new_xyz = index_points(xyz, fps_idx)                     # (B, S, 3)
 
         outs = []
         for i, radius in enumerate(self.radius_list):
             K = self.nsample_list[i]
+            mlp = MLPStack(self.mlp_list[i], name=f"branch{i}")
+            if fused:
+                assert len(self.mlp_list[i]) == 3
+                D = 0 if points is None else points.shape[-1]
+                (A1, b1), (A2, b2), (A3, b3) = mlp(fold=True, c_in=D + 3)
+                src = (xyz if points is None
+                       else jnp.concatenate([points, xyz], -1))
+                u = src @ A1 + b1                          # (B, N, C1)
+                csw = new_xyz @ A1[D:]                     # (B, S, C1)
+                outs.append(fused_ball_mlp3(new_xyz, xyz, u, csw,
+                                            A2, b2, A3, b3,
+                                            radius=radius, k=K))
+                continue
             group_idx = query_ball_point(radius, K, xyz, new_xyz)
             grouped_xyz = index_points(xyz, group_idx)           # (B, S, K, 3)
             grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
@@ -50,7 +69,7 @@ class SetAbstractionMsg(nn.Module):
                 grouped = jnp.concatenate([grouped_points, grouped_xyz], -1)
             else:
                 grouped = grouped_xyz
-            h = MLPStack(self.mlp_list[i], name=f"branch{i}")(grouped, train=train)
+            h = mlp(grouped, train=train)
             outs.append(jnp.max(h, axis=2))                      # (B, S, C_i)
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
@@ -73,16 +92,19 @@ class PointNet2ClsMsg(nn.Module):
     num_classes: int = 10
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        # x: (B, N, 3)
+    def __call__(self, x, train: bool = False, fused=None):
+        # x: (B, N, 3).  fused=None auto-selects the Pallas fused
+        # set-abstraction kernels on TPU eval (not differentiable).
+        if fused is None:
+            fused = (not train) and on_tpu()
         l1_xyz, l1_points = SetAbstractionMsg(
             512, [0.1, 0.2, 0.4], [16, 32, 128],
             [[32, 32, 64], [64, 64, 128], [64, 96, 128]],
-            name="sa1")(x, None, train=train)
+            name="sa1")(x, None, train=train, fused=fused)
         l2_xyz, l2_points = SetAbstractionMsg(
             128, [0.2, 0.4, 0.8], [32, 64, 128],
             [[64, 64, 128], [128, 128, 256], [128, 128, 256]],
-            name="sa2")(l1_xyz, l1_points, train=train)
+            name="sa2")(l1_xyz, l1_points, train=train, fused=fused)
         feat = SetAbstractionAll([256, 512, 1024],
                                  name="sa3")(l2_xyz, l2_points, train=train)
 

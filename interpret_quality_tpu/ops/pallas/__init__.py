@@ -1,4 +1,6 @@
 from .fps import fps_pallas
+from .groups import fused_ball_mlp3, gather_rows
 from .neighbors import gather_extrema, knn_gather_extrema, knn_pallas
 
-__all__ = ["fps_pallas", "gather_extrema", "knn_gather_extrema", "knn_pallas"]
+__all__ = ["fps_pallas", "fused_ball_mlp3", "gather_extrema", "gather_rows",
+           "knn_gather_extrema", "knn_pallas"]

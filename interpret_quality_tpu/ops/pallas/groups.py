@@ -1,0 +1,203 @@
+"""Fused ball-query + grouped-MLP + max Pallas TPU kernel (PointNet++ SA).
+
+A PointNet++ MSG set-abstraction branch is: ball-query K neighbours of each
+FPS centre, gather their features, run a 3-layer per-edge MLP, max over the
+K slots (reference models/pointnet2.py:180-240).  In XLA at coalition batch
+330 the sort-based ball query costs ~99 ms per branch and the grouped
+gathers dominate the rest.  This kernel fuses the whole branch:
+
+  * the (Sq, N) distance tile is computed on the MXU and stays in VMEM;
+  * ball-query selection uses a *rank* formulation: rank = in_ball @ T with
+    T upper-triangular ones (exact — 0/1 values in bf16), so the j-th slot's
+    one-hot is `in_ball & (rank == j+1)`, with the reference's
+    fill-with-first semantics `(nball <= j) & (rank == 1)`
+    (reference models/pointnet2.py:84-91) — no per-slot reductions;
+  * the first MLP layer is hoisted above the gather: its BatchNorm-folded
+    affine is applied to every *source* point once outside the kernel
+    (u = [feats, xyz] @ A1 + b1), so the gather is a one-hot matmul of
+    already-transformed rows (bf16 hi/lo pair, ~2^-16 exact) and the centre
+    offset enters as a per-query subtraction (-c_s @ A1_xyz);
+  * MLP layers 2 and 3 and the running max stay in VMEM per slot.
+
+The (B, S, K, C) grouped tensor never exists in HBM.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .neighbors import _dist_tile, _split_hilo
+
+_BIG = 1e30
+
+
+def _ball_mlp3_kernel(newxyz_ref, xyzt_ref, uhl_ref, csw_ref,
+                      a2_ref, b2_ref, a3_ref, b3_ref, out_ref,
+                      *, k: int, radius2: float):
+    dist = _dist_tile(newxyz_ref[0], xyzt_ref[0])          # (Sq, N) f32
+    sq, n = dist.shape
+    in_ball = dist <= radius2
+    ib = in_ball.astype(jnp.bfloat16)
+
+    # rank[i, j] = #in-ball points with index <= j  (exact: 0/1 in bf16)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    tri = (row <= col).astype(jnp.bfloat16)                # (N, N)
+    rank = jnp.dot(ib, tri, preferred_element_type=jnp.float32)
+    nball = jnp.max(rank, axis=1, keepdims=True)           # (Sq, 1)
+    sel_rank = jnp.where(in_ball, rank, -1.0)              # (Sq, N)
+    fill_oh = (sel_rank == 1.0).astype(jnp.bfloat16)       # first in-ball
+
+    uhl = uhl_ref[0]                                       # (N, 2*C1) bf16
+    csw = csw_ref[0]                                       # (Sq, C1)
+    c1 = csw.shape[-1]
+    a2, b2 = a2_ref[:], b2_ref[:]
+    a3, b3 = a3_ref[:], b3_ref[:]
+    c3 = a3.shape[-1]
+
+    def slot(j, acc):
+        fj = j.astype(jnp.float32)
+        # select between bf16 one-hots (bool-valued `where` does not lower)
+        ohb = jnp.where(nball > fj,
+                        (sel_rank == fj + 1.0).astype(jnp.bfloat16), fill_oh)
+        ghl = jnp.dot(ohb, uhl, preferred_element_type=jnp.float32)
+        g = ghl[:, :c1] + ghl[:, c1:]                      # hi + lo
+        h = jnp.maximum(g - csw, 0.0)                      # layer 1 (folded)
+        h = jnp.maximum(
+            jnp.dot(h, a2, preferred_element_type=jnp.float32) + b2, 0.0)
+        h = jnp.maximum(
+            jnp.dot(h, a3, preferred_element_type=jnp.float32) + b3, 0.0)
+        return jnp.maximum(acc, h)
+
+    acc = jnp.full((sq, c3), -_BIG, jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(0, k, slot, acc)
+
+
+def _gather_rows_kernel(idx_ref, vhl_ref, out_ref, *, k: int, fp: int):
+    bq = idx_ref.shape[1]
+    n = vhl_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, n), 1)
+    vhl = vhl_ref[0]                                       # (N, 2*Fp) bf16
+    for j in range(k):
+        sel = idx_ref[0, :, j:j + 1]                       # (bq, 1)
+        oh = (col == sel).astype(jnp.bfloat16)
+        ghl = jnp.dot(oh, vhl, preferred_element_type=jnp.float32)
+        out_ref[0, :, j * fp:(j + 1) * fp] = ghl[:, :fp] + ghl[:, fp:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def gather_rows(values: jnp.ndarray, idx: jnp.ndarray, block_q: int = 128,
+                interpret: bool = False) -> jnp.ndarray:
+    """Grouped row gather via one-hot matmuls: out[b,s,j] = values[b,idx[b,s,j]].
+
+    XLA's row gather runs on the scalar unit (~120 ms for 10M rows at
+    coalition batch); this kernel rides the MXU instead, with the values as
+    a bf16 hi/lo pair (~2^-16 exact).  The feature axis is padded to the
+    128-lane boundary so every VMEM write is aligned.
+
+    Args:
+      values: (B, N, F) float32; idx: (B, S, K) int32.
+    Returns:
+      (B, S, K, F) float32.
+    """
+    B, N, F = values.shape
+    S, K = idx.shape[1], idx.shape[2]
+    fp = -(-F // 128) * 128
+    if fp != F:
+        values = jnp.concatenate(
+            [values, jnp.zeros((B, N, fp - F), values.dtype)], axis=-1)
+    bq = min(block_q, S)
+    # halve the query block while the double-buffered output block would
+    # push the kernel past the 16 MB VMEM budget
+    while bq > 8 and bq * K * fp * 4 > 4 * 1024 * 1024:
+        bq //= 2
+    assert S % bq == 0, (S, bq)
+    vhi, vlo = _split_hilo(values.astype(jnp.float32))
+    vhl = jnp.concatenate([vhi, vlo], axis=-1)             # (B, N, 2*Fp)
+
+    kernel = functools.partial(_gather_rows_kernel, k=K, fp=fp)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, S // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, K), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 2 * fp), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, K * fp), lambda b, q: (b, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, K * fp), jnp.float32),
+        interpret=interpret,
+    )(idx, vhl)
+    return out.reshape(B, S, K, fp)[..., :F]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "radius", "block_q", "interpret"))
+def fused_ball_mlp3(new_xyz: jnp.ndarray, xyz: jnp.ndarray, u: jnp.ndarray,
+                    csw: jnp.ndarray, a2: jnp.ndarray, b2: jnp.ndarray,
+                    a3: jnp.ndarray, b3: jnp.ndarray, *, radius: float,
+                    k: int, block_q: int = 128,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Fused SA branch: max over ball-grouped 3-layer MLP outputs.
+
+    Args:
+      new_xyz: (B, S, 3) query centres (FPS points).
+      xyz: (B, N, 3) source coordinates.
+      u: (B, N, C1) first-layer pre-activations of each source point
+         (= [feats, xyz] @ A1 + b1, BatchNorm folded).
+      csw: (B, S, C1) per-centre offset (= new_xyz @ A1[xyz rows]).
+      a2/b2: (C1, C2), (C2) folded layer-2 weight/bias.
+      a3/b3: (C2, C3), (C3) folded layer-3 weight/bias.
+      radius, k: ball-query radius and slot count.
+    Returns:
+      (B, S, C3) float32 = max over the K slots of
+      relu(relu(relu(u_j - csw_s) @ a2 + b2) @ a3 + b3).
+    """
+    B, S, _ = new_xyz.shape
+    N = xyz.shape[1]
+    C3 = a3.shape[-1]
+    bq = min(block_q, S)
+    assert S % bq == 0, (S, bq)
+    xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)
+    uhi, ulo = _split_hilo(u.astype(jnp.float32))
+    uhl = jnp.concatenate([uhi, ulo], axis=-1)             # (B, N, 2*C1)
+
+    kernel = functools.partial(_ball_mlp3_kernel, k=k,
+                               radius2=float(radius) ** 2)
+    C1, C2 = a2.shape[0], a2.shape[1]
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, S // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, 3), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, N), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 2 * C1), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, C1), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C1, C2), lambda b, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C2), lambda b, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C2, C3), lambda b, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C3), lambda b, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, C3), lambda b, q: (b, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, C3), jnp.float32),
+        interpret=interpret,
+    )(new_xyz.astype(jnp.float32), xyz_t, uhl,
+      csw.astype(jnp.float32), a2.astype(jnp.float32),
+      b2.reshape(1, -1).astype(jnp.float32), a3.astype(jnp.float32),
+      b3.reshape(1, -1).astype(jnp.float32))
+    return out

@@ -62,21 +62,20 @@ def _select_min(dist, col):
     return onehot, jnp.where(onehot, _BIG, dist)
 
 
-def _extrema_kernel(xq_ref, xdbt_ref, ahi_ref, alo_ref,
-                    omax_ref, omin_ref, *, k: int):
+def _extrema_kernel(xq_ref, xdbt_ref, ahl_ref, omax_ref, omin_ref, *, k: int):
     dist = _dist_tile(xq_ref[0], xdbt_ref[0])
     q, n = dist.shape
-    f = ahi_ref.shape[-1]
+    f = ahl_ref.shape[-1] // 2
     col = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
-    ahi, alo = ahi_ref[0], alo_ref[0]
+    ahl = ahl_ref[0]                                       # (N, 2F) bf16
 
     amax = jnp.full((q, f), -_BIG, jnp.float32)
     amin = jnp.full((q, f), _BIG, jnp.float32)
     for _ in range(k):
         onehot, dist = _select_min(dist, col)
         oh = onehot.astype(jnp.bfloat16)
-        g = (jnp.dot(oh, ahi, preferred_element_type=jnp.float32)
-             + jnp.dot(oh, alo, preferred_element_type=jnp.float32))
+        ghl = jnp.dot(oh, ahl, preferred_element_type=jnp.float32)
+        g = ghl[:, :f] + ghl[:, f:]                        # hi + lo
         amax = jnp.maximum(amax, g)
         amin = jnp.minimum(amin, g)
     omax_ref[0] = amax
@@ -105,6 +104,7 @@ def knn_gather_extrema(xs: jnp.ndarray, a: jnp.ndarray, k: int,
     xs = xs.astype(jnp.float32)
     xs_t = jnp.swapaxes(xs, 1, 2)                          # (B, C, N)
     ahi, alo = _split_hilo(a.astype(jnp.float32))
+    ahl = jnp.concatenate([ahi, alo], axis=-1)             # (B, N, 2F)
 
     kernel = functools.partial(_extrema_kernel, k=k)
     out_shape = jax.ShapeDtypeStruct((B, N, F), jnp.float32)
@@ -116,9 +116,7 @@ def knn_gather_extrema(xs: jnp.ndarray, a: jnp.ndarray, k: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C, N), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, F), lambda b, q: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, F), lambda b, q: (b, 0, 0),
+            pl.BlockSpec((1, N, 2 * F), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -129,24 +127,23 @@ def knn_gather_extrema(xs: jnp.ndarray, a: jnp.ndarray, k: int,
         ),
         out_shape=(out_shape, out_shape),
         interpret=interpret,
-    )(xs, xs_t, ahi, alo)
+    )(xs, xs_t, ahl)
     return omax, omin
 
 
-def _idx_extrema_kernel(idx_ref, ahi_ref, alo_ref, omax_ref, omin_ref,
-                        *, k: int):
+def _idx_extrema_kernel(idx_ref, ahl_ref, omax_ref, omin_ref, *, k: int):
     q = idx_ref.shape[1]
-    n = ahi_ref.shape[1]
-    f = ahi_ref.shape[-1]
+    n = ahl_ref.shape[1]
+    f = ahl_ref.shape[-1] // 2
     col = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
-    ahi, alo = ahi_ref[0], alo_ref[0]
+    ahl = ahl_ref[0]
     amax = jnp.full((q, f), -_BIG, jnp.float32)
     amin = jnp.full((q, f), _BIG, jnp.float32)
     for j in range(k):
         sel = idx_ref[0, :, j:j + 1]                       # (Q, 1) int32
         oh = (col == sel).astype(jnp.bfloat16)
-        g = (jnp.dot(oh, ahi, preferred_element_type=jnp.float32)
-             + jnp.dot(oh, alo, preferred_element_type=jnp.float32))
+        ghl = jnp.dot(oh, ahl, preferred_element_type=jnp.float32)
+        g = ghl[:, :f] + ghl[:, f:]                        # hi + lo
         amax = jnp.maximum(amax, g)
         amin = jnp.minimum(amin, g)
     omax_ref[0] = amax
@@ -173,6 +170,7 @@ def gather_extrema(idx: jnp.ndarray, a: jnp.ndarray,
     bq = min(block_q, N)
     assert N % bq == 0, (N, bq)
     ahi, alo = _split_hilo(a.astype(jnp.float32))
+    ahl = jnp.concatenate([ahi, alo], axis=-1)
 
     kernel = functools.partial(_idx_extrema_kernel, k=k)
     out_shape = jax.ShapeDtypeStruct((B, N, F), jnp.float32)
@@ -182,9 +180,7 @@ def gather_extrema(idx: jnp.ndarray, a: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, bq, k), lambda b, q: (b, q, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, F), lambda b, q: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, F), lambda b, q: (b, 0, 0),
+            pl.BlockSpec((1, N, 2 * F), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -195,7 +191,7 @@ def gather_extrema(idx: jnp.ndarray, a: jnp.ndarray,
         ),
         out_shape=(out_shape, out_shape),
         interpret=interpret,
-    )(idx, ahi, alo)
+    )(idx, ahl)
     return omax, omin
 
 

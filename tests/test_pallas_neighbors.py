@@ -89,3 +89,43 @@ def test_fused_model_path_matches_xla(name):
         out = model.apply(variables, x, train=False, fused=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_gather_rows_matches_oracle(data):
+    from interpret_quality_tpu.ops.pallas import gather_rows
+    _, a = data
+    rng = np.random.RandomState(6)
+    idx = jnp.asarray(rng.randint(0, N, (B, 24, 5)).astype(np.int32))
+    ref = index_points(a, idx)                       # (B, 24, 5, F)
+    out = gather_rows(a, idx, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_fused_pointconv_matches_xla():
+    """Fused kNN + hoisted-layer gather path vs the XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    model = build_model("pointconv", num_classes=10)
+    variables = init_model(model, jax.random.PRNGKey(0), num_points=256)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32))
+    ref = model.apply(variables, x, train=False, fused=False)
+    with pltpu.force_tpu_interpret_mode():
+        out = model.apply(variables, x, train=False, fused=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_pointnet2_matches_xla():
+    """Fused ball-query + grouped-MLP SA path vs the XLA gather path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    model = build_model("pointnet2", num_classes=10)
+    variables = init_model(model, jax.random.PRNGKey(0), num_points=256)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32))
+    ref = model.apply(variables, x, train=False, fused=False)
+    with pltpu.force_tpu_interpret_mode():
+        out = model.apply(variables, x, train=False, fused=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
