@@ -32,7 +32,9 @@ REFERENCE_FWDS_PER_SEC = 5000.0   # derived TITAN-RTX estimate, see docstring
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--model", default="pointnet")
+    p.add_argument("--model", default="pointnet",
+                   choices=["pointnet", "pointnet2", "pointconv",
+                            "dgcnn", "gcnn", "gcnn_adv"])
     p.add_argument("--orders", type=int, default=None,
                    help="orders per device step (default: per-model config)")
     p.add_argument("--steps", type=int, default=8)

@@ -111,7 +111,11 @@ def run_gen_pair(cfg: ExperimentConfig, mode_name: str = "rotate",
     mode = MODES[mode_name]
     dataset, names = resolve_dataset(cfg, synthetic)
     _, _, forward = load_frozen_model(cfg, allow_random_init)
-    fwd = jax.jit(forward)
+    # params as jit args (constant-embedding is slow through the tunnel)
+    from .shapley import _params_to_default_device
+    _apply_jit = jax.jit(forward.apply_fn)
+    _vars_dev = _params_to_default_device(forward.variables)
+    fwd = lambda x: _apply_jit(_vars_dev, x)              # noqa: E731
     disturb_batch = jax.jit(jax.vmap(mode.disturb_fn, in_axes=(None, 0)))
     disturb_one = jax.jit(mode.disturb_fn)
 
@@ -220,7 +224,14 @@ def run_gen_pair(cfg: ExperimentConfig, mode_name: str = "rotate",
 # stage 2: interaction logits
 # ---------------------------------------------------------------------------
 class InteractionEngine:
-    """Batched 4-row masked forwards for (pair, context) grids."""
+    """Batched 4-row masked forwards for (pair, context) grids.
+
+    All (pair, context) quadruples of a ratio are flattened into one work
+    list and chunked into fixed-shape device steps, so the number of host
+    round trips is ~(pairs * contexts / batch) instead of one per pair
+    (reference final_point_binary_interaction_logits.py:15-70 loops pairs).
+    Device->host transfers are deferred to the end so dispatch runs ahead.
+    """
 
     def __init__(self, forward_fn, num_regions: int, batch_contexts: int = 100,
                  coalition_sharding=None):
@@ -228,16 +239,43 @@ class InteractionEngine:
         self.num_regions = num_regions
         self.batch_contexts = batch_contexts
         self.coalition_sharding = coalition_sharding
+        from .shapley import _params_to_default_device
+        apply_fn = getattr(forward_fn, "apply_fn", None)
+        if apply_fn is not None:    # params as jit args, not baked constants
+            self._apply = apply_fn
+            self._variables = _params_to_default_device(forward_fn.variables)
+        else:
+            self._apply = lambda _vars, x: forward_fn(x)
+            self._variables = None
         self._step = jax.jit(self._step_impl)
 
-    def _step_impl(self, data, center, context_keep, region_i, region_j,
-                   region_id):
-        rows = interaction_masks(context_keep, region_i, region_j)  # (C,4,R)
-        masked = masked_interaction_batch(data, center, rows, region_id)
+    def _step_impl(self, variables, data, keep_rows, region_id):
+        """keep_rows: (M, 4, R) region-level keep masks."""
+        center = jnp.mean(data, axis=0)
+        masked = masked_interaction_batch(data, center, keep_rows, region_id)
         if self.coalition_sharding is not None:
             masked = jax.lax.with_sharding_constraint(
                 masked, self.coalition_sharding)
-        return self.forward_fn(masked)                   # (C*4, num_class)
+        return self._apply(variables, masked)            # (M*4, num_class)
+
+    def _keep_rows_np(self, region_pair_list, context_list) -> np.ndarray:
+        """(P*C, 4, R) bool keep masks for every (pair, context), in the
+        reference row order [S∪{i,j}, S∪{i}, S∪{j}, S]."""
+        P, C = context_list.shape[0], context_list.shape[1]
+        R = self.num_regions
+        ctx_keep = np.zeros((P, C, R), bool)
+        if context_list.shape[2] > 0:
+            p_idx = np.repeat(np.arange(P), C * context_list.shape[2])
+            c_idx = np.tile(np.repeat(np.arange(C), context_list.shape[2]), P)
+            ctx_keep[p_idx, c_idx,
+                     np.asarray(context_list, np.int64).ravel()] = True
+        oi = np.zeros((P, 1, R), bool)
+        oj = np.zeros((P, 1, R), bool)
+        oi[np.arange(P), 0, np.asarray(region_pair_list)[:, 0]] = True
+        oj[np.arange(P), 0, np.asarray(region_pair_list)[:, 1]] = True
+        rows = np.stack([ctx_keep | oi | oj, ctx_keep | oi,
+                         ctx_keep | oj, ctx_keep], axis=2)   # (P, C, 4, R)
+        return rows.reshape(P * C, 4, R)
 
     def logits_for_pairs(self, data, region_id, region_pair_list,
                          context_list) -> np.ndarray:
@@ -246,32 +284,24 @@ class InteractionEngine:
         context_list: (num_pairs, num_context, m) region indices.
         """
         data = jnp.asarray(data)
-        center = jnp.mean(data, axis=0)
         region_id_j = jnp.asarray(region_id)
         num_pairs, num_context = context_list.shape[0], context_list.shape[1]
-        # fixed compiled batch shape: pad every chunk to batch_contexts so the
-        # step compiles once across all ratios/pairs
+        keep_all = self._keep_rows_np(region_pair_list, context_list)
+        M = keep_all.shape[0]
         bs = self.batch_contexts
-        out = []
-        for pair_idx in range(num_pairs):
-            ri = jnp.asarray(int(region_pair_list[pair_idx][0]))
-            rj = jnp.asarray(int(region_pair_list[pair_idx][1]))
-            chunks = []
-            for s in range(0, num_context, bs):
-                ctx = context_list[pair_idx, s:s + bs]          # (c, m)
-                c = ctx.shape[0]
-                keep = np.zeros((c, self.num_regions), bool)
-                if ctx.shape[1] > 0:
-                    rows = np.repeat(np.arange(c), ctx.shape[1])
-                    keep[rows, np.asarray(ctx, np.int64).ravel()] = True
-                if c < bs:  # pad to the compiled shape, drop afterwards
-                    keep = np.concatenate(
-                        [keep, np.zeros((bs - c, self.num_regions), bool)])
-                logits = self._step(data, center, jnp.asarray(keep), ri, rj,
-                                    region_id_j)
-                chunks.append(np.asarray(logits).reshape(bs, 4, -1)[:c])
-            out.append(np.concatenate(chunks, axis=0).reshape(4 * num_context, -1))
-        return np.stack(out)                              # (pairs, 4*C, classes)
+        chunks = []
+        for s in range(0, M, bs):
+            keep = keep_all[s:s + bs]
+            c = keep.shape[0]
+            if c < bs:  # pad to the compiled shape, drop afterwards
+                keep = np.concatenate(
+                    [keep, np.zeros((bs - c, 4, self.num_regions), bool)])
+            logits = self._step(self._variables, data, jnp.asarray(keep),
+                                region_id_j)
+            chunks.append((logits, c))
+        flat = np.concatenate(
+            [np.asarray(lg).reshape(bs, 4, -1)[:c] for lg, c in chunks], axis=0)
+        return flat.reshape(num_pairs, 4 * num_context, -1)
 
 
 def run_interaction_logits(cfg: ExperimentConfig, mode_name: str = "rotate",

@@ -22,6 +22,7 @@ from .coalitions import (keep_matrix_from_orders, masked_coalitions,
 from .reward import reward_from_logits
 
 
+@jax.jit
 def region_id_from_fps(data: jnp.ndarray, fps_index: jnp.ndarray) -> jnp.ndarray:
     """Assign each point to its nearest FPS centre.
 
@@ -53,6 +54,24 @@ def generate_all_orders(num_samples_save: int, num_regions: int,
     return np.concatenate(orders, axis=0)
 
 
+def _params_to_default_device(variables):
+    """Move host-resident parameters to the default device once.
+
+    init_model builds variables on the CPU backend (fast eager init); if
+    they stayed host-committed, every jitted step would re-transfer the
+    whole parameter set through the TPU tunnel.  Arrays already living on
+    the default device (e.g. mesh-sharded in the multichip dry run) are
+    left untouched so shardings survive.
+    """
+    leaves = jax.tree_util.tree_leaves(variables)
+    if not leaves or not hasattr(leaves[0], "devices"):
+        return variables
+    default = jax.devices()[0]
+    if default in leaves[0].devices():
+        return variables
+    return jax.device_put(variables, default)
+
+
 class ShapleyEngine:
     """Batched masked-coalition Shapley estimator for one frozen model.
 
@@ -76,20 +95,46 @@ class ShapleyEngine:
         self.softmax_type = softmax_type
         self.batch_orders = batch_orders
         self.coalition_sharding = coalition_sharding
+        # Pass parameters as jit arguments when the forward exposes them
+        # (ForwardFn); closing over them would bake every array into the
+        # compiled program as an MLIR constant.
+        apply_fn = getattr(forward_fn, "apply_fn", None)
+        if apply_fn is not None:
+            self._apply = apply_fn
+            self._variables = _params_to_default_device(forward_fn.variables)
+        else:
+            self._apply = lambda _vars, x: forward_fn(x)
+            self._variables = None
         self._step = jax.jit(self._step_impl)
         self._step_poses = jax.jit(self._step_poses_impl)
+        self._keep_cache = {}
+
+    def _keep_for(self, chunk: np.ndarray):
+        """Device (keep matrix, orders) for an order chunk, cached across
+        poses/clouds (enumeration reuses the same permutations for every
+        pose; re-uploading costs a tunnel round trip each)."""
+        key = chunk.tobytes()
+        cached = self._keep_cache.get(key)
+        if cached is None:
+            cached = (jnp.asarray(keep_matrix_from_orders(chunk)),
+                      jnp.asarray(chunk))
+            if len(self._keep_cache) > 64:
+                self._keep_cache.clear()
+            self._keep_cache[key] = cached
+        return cached
 
     # ---------------------------------------------------------------- step
-    def _step_impl(self, data, center, keep, orders, region_id, label):
+    def _step_impl(self, variables, data, keep, orders, region_id, label):
         """One device step over a chunk of permutations.
 
         Returns (region_sv_sum (R,), dv_by_region (O, R), logits (O*(R+1), C)).
         """
+        center = jnp.mean(data, axis=0)
         masked = masked_coalitions(data, center, keep, region_id)
         if self.coalition_sharding is not None:
             masked = jax.lax.with_sharding_constraint(
                 masked, self.coalition_sharding)
-        logits = self.forward_fn(masked)
+        logits = self._apply(variables, masked)
         v = reward_from_logits(logits, label, self.softmax_type)
         v = v.reshape(keep.shape[0], self.num_regions + 1)
         dv = v[:, 1:] - v[:, :-1]                             # (O, R)
@@ -97,24 +142,25 @@ class ShapleyEngine:
         dv_by_region = jnp.take_along_axis(dv, pos, axis=1)   # (O, R)
         return jnp.sum(dv_by_region, axis=0), dv_by_region, logits
 
-    def _step_poses_impl(self, data_batch, centers, keep, orders, region_id,
+    def _step_poses_impl(self, variables, data_batch, keep, orders, region_id,
                          label):
         """One device step over (pose_chunk, order_chunk).
 
         Args:
-          data_batch: (P, N, 3) disturbed clouds; centers: (P, 3).
+          data_batch: (P, N, 3) disturbed clouds.
         Returns:
           (region_sv_sum (P, R), logits (P, O*(R+1), C)).
         """
         P = data_batch.shape[0]
         O = keep.shape[0]
+        centers = jnp.mean(data_batch, axis=1)
         masked = jax.vmap(masked_coalitions, in_axes=(0, 0, None, None))(
             data_batch, centers, keep, region_id)         # (P, O*(R+1), N, 3)
         flat = masked.reshape(P * O * (self.num_regions + 1),
                               data_batch.shape[1], 3)
         if self.coalition_sharding is not None:
             flat = jax.lax.with_sharding_constraint(flat, self.coalition_sharding)
-        logits = self.forward_fn(flat)
+        logits = self._apply(variables, flat)
         v = reward_from_logits(logits, label, self.softmax_type)
         v = v.reshape(P, O, self.num_regions + 1)
         dv = v[:, :, 1:] - v[:, :, :-1]                   # (P, O, R)
@@ -126,15 +172,20 @@ class ShapleyEngine:
 
     # ------------------------------------------------------------- public
     def shapley_for_poses(self, data_batch, label, region_id, orders,
-                          return_logits: bool = True):
+                          return_logits: bool = True,
+                          return_device: bool = False):
         """Shapley values for a batch of disturbed poses of one cloud.
 
         Args:
           data_batch: (P, N, 3).
           orders: (S, R) permutations (shared across poses).
+          return_device: return device arrays without any host transfer —
+            callers batch many pose chunks and fetch once (each blocking
+            fetch costs a full tunnel round trip).
         Returns:
-          region_shap_value (P, R) float64, and optionally raw logits
-          (P, S*(R+1), C) in the reference row layout.
+          region_shap_value (P, R) (float64 numpy, or f32 device array with
+          ``return_device``), and optionally raw logits (P, S*(R+1), C) in
+          the reference row layout.
         """
         orders = np.asarray(orders)
         S = orders.shape[0]
@@ -142,7 +193,6 @@ class ShapleyEngine:
         if S % bs != 0:
             raise ValueError(f"num orders {S} not divisible by batch {bs}")
         data_batch = jnp.asarray(data_batch)
-        centers = jnp.mean(data_batch, axis=1)
         region_id = jnp.asarray(region_id)
         label = jnp.asarray(label)
 
@@ -150,16 +200,27 @@ class ShapleyEngine:
         logits_chunks = []
         for i in range(S // bs):
             chunk = orders[i * bs:(i + 1) * bs]
-            keep = jnp.asarray(keep_matrix_from_orders(chunk))
+            keep, chunk_dev = self._keep_for(chunk)
             sv, logits = self._step_poses(
-                data_batch, centers, keep, jnp.asarray(chunk), region_id, label)
+                self._variables, data_batch, keep, chunk_dev,
+                region_id, label)
             sv_sum = sv if sv_sum is None else sv_sum + sv
             if return_logits:
-                logits_chunks.append(np.asarray(logits))
+                logits_chunks.append(logits)
 
+        if return_device:
+            sv_dev = sv_sum / S
+            if return_logits:
+                return sv_dev, (logits_chunks[0] if len(logits_chunks) == 1
+                                else jnp.concatenate(logits_chunks, axis=1))
+            return sv_dev
+
+        for c in logits_chunks:                 # overlap the transfers
+            c.copy_to_host_async()
         region_shap_value = np.asarray(sv_sum, dtype=np.float64) / S
         if return_logits:
-            return region_shap_value, np.concatenate(logits_chunks, axis=1)
+            return region_shap_value, np.concatenate(
+                [np.asarray(c) for c in logits_chunks], axis=1)
         return region_shap_value
 
     def shapley_for_pose(self, data, label, region_id, orders,
@@ -183,7 +244,6 @@ class ShapleyEngine:
         if S % bs != 0:
             raise ValueError(f"num orders {S} not divisible by batch {bs}")
         data = jnp.asarray(data)
-        center = jnp.mean(data, axis=0)
         region_id = jnp.asarray(region_id)
         label = jnp.asarray(label)
 
@@ -192,15 +252,17 @@ class ShapleyEngine:
         per_order_chunks = []
         for i in range(S // bs):
             chunk = orders[i * bs:(i + 1) * bs]
-            keep = jnp.asarray(keep_matrix_from_orders(chunk))
+            keep, chunk_dev = self._keep_for(chunk)
             sv, dv_by_region, logits = self._step(
-                data, center, keep, jnp.asarray(chunk), region_id, label)
+                self._variables, data, keep, chunk_dev, region_id, label)
             sv_sum = sv if sv_sum is None else sv_sum + sv
             if return_logits:
                 logits_chunks.append(logits)
             if return_per_order:
                 per_order_chunks.append(dv_by_region)
 
+        for c in logits_chunks + per_order_chunks:   # overlap the transfers
+            c.copy_to_host_async()
         region_shap_value = np.asarray(sv_sum, dtype=np.float64) / S
         out = [region_shap_value]
         if return_logits:
@@ -210,16 +272,39 @@ class ShapleyEngine:
         return tuple(out) if len(out) > 1 else out[0]
 
 
+_NORM_JITS: dict = {}
+
+
 def norm_factor(forward_fn: Callable, data: jnp.ndarray, label,
                 softmax_type: str = "modified") -> float:
     """v(N) - v(empty): reward of the full cloud minus the all-centre cloud.
 
-    Reference: final_shapley_value.py:39-56.
+    Reference: final_shapley_value.py:39-56.  Jitted and cached per
+    (forward_fn, softmax_type): every eager op costs a device round trip
+    through the TPU tunnel, so the whole computation is one compiled call.
     """
-    data = jnp.asarray(data)
-    center = jnp.mean(data, axis=0)
-    empty = jnp.broadcast_to(center, data.shape)
-    batch = jnp.stack([data, empty])                        # (2, N, 3)
-    logits = forward_fn(batch)
-    v = reward_from_logits(logits, jnp.asarray(label), softmax_type)
-    return float(v[0] - v[1])
+    apply_fn = getattr(forward_fn, "apply_fn", None)
+    variables = getattr(forward_fn, "variables", None)
+    if apply_fn is None:
+        apply_fn = lambda _vars, x: forward_fn(x)   # noqa: E731
+    cached = _NORM_JITS.get(("vars", id(forward_fn)))
+    if variables is not None:
+        if cached is None:
+            cached = _params_to_default_device(variables)
+            _NORM_JITS[("vars", id(forward_fn))] = cached
+        variables = cached
+    impl = _NORM_JITS.get((id(forward_fn), softmax_type))
+    if impl is None:
+        def _impl(variables, data, label):
+            center = jnp.mean(data, axis=0)
+            empty = jnp.broadcast_to(center, data.shape)
+            batch = jnp.stack([data, empty])                # (2, N, 3)
+            v = reward_from_logits(apply_fn(variables, batch), label,
+                                   softmax_type)
+            return v[0] - v[1]
+
+        impl = jax.jit(_impl)
+        _NORM_JITS[(id(forward_fn), softmax_type)] = impl
+        # keep the closure alive so id() keys stay unique
+        _NORM_JITS[("ref", id(forward_fn), softmax_type)] = forward_fn
+    return float(impl(variables, jnp.asarray(data), jnp.asarray(label)))

@@ -128,8 +128,98 @@ def smoothness_step(data: jnp.ndarray, orig: jnp.ndarray, mask: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# region / cloud drivers
+# batched epoch step: all regions march in one device-side while_loop
 # ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("mode", "objective"))
+def smoothness_epoch_all_regions(data, orig, masks, orientations, bounds,
+                                 smooth_prev, active, targets,
+                                 mode: str, objective: str):
+    """One enumeration epoch for ALL regions at once.
+
+    The reference updates regions sequentially (:313-331), but each region's
+    objective and update have support only on its own points, so the region
+    trajectories are independent and one fused while_loop reproduces the
+    sequential results exactly.  Replaces up to R x MAX_ITERATION host round
+    trips per epoch with a single device call — through the TPU tunnel each
+    round trip costs milliseconds.
+
+    Args:
+      data, orig: (N, 3); masks: (R, N) float; orientations: (R, 3, 3);
+      bounds: (R, 2, 3); smooth_prev: (R,); active: (R,) bool;
+      targets: (R,) this epoch's target smoothness per region.
+    Returns:
+      (new_data, smooth (R,), keep_updating (R,) bool).
+    """
+    R = masks.shape[0]
+    num_pts = jnp.sum(masks, axis=1)                       # (R,)
+    sign = 1.0 if objective == "inc" else -1.0
+
+    def not_reached(s):
+        return s < targets if objective == "inc" else s > targets
+
+    def smooth_and_grad(x, chase):
+        def obj(x):
+            proj = jnp.einsum("nc,rdc->rnd", x, orientations)   # (R, N, 3)
+            m = masks[:, :, None]
+            s = num_pts[:, None]
+            mean = jnp.sum(proj * m, axis=1, keepdims=True) / s[:, None]
+            v = jnp.sum(m * (proj - mean) ** 2, axis=1) / (s - 1.0)  # (R, 3)
+            in_bound = (v <= bounds[:, 0]) & (v >= bounds[:, 1])
+            v_b = jnp.where(in_bound, v, jax.lax.stop_gradient(v))
+            vs = jnp.sort(v_b, axis=1)                     # (R, 3) ascending
+            if mode == "linearity":
+                sm = (vs[:, 2] - vs[:, 1]) / vs[:, 2]
+            elif mode == "planarity":
+                sm = (vs[:, 1] - vs[:, 0]) / vs[:, 2]
+            else:
+                sm = vs[:, 0] / vs[:, 2]
+            # gradients only for regions still chasing this iteration
+            sm_g = jnp.where(chase, sm, jax.lax.stop_gradient(sm))
+            return jnp.sum(sm_g), (sm, in_bound)
+
+        (_, (sm, in_bound)), grad = jax.value_and_grad(obj, has_aux=True)(x)
+        return sm, in_bound, grad                          # (R,), (R,3), (N,3)
+
+    def body(state):
+        x, smooth, act, iters, _ = state
+        chase = act & not_reached(smooth)
+        sm, in_bound, grad = smooth_and_grad(x, chase)
+        # per-region normalised step on each region's own points
+        gnorm_r = jnp.sqrt(jnp.sum(
+            (grad[None] * masks[:, :, None]) ** 2, axis=(1, 2)))   # (R,)
+        point_norm = masks.T @ gnorm_r                     # (N,) own region's
+        point_chase = masks.T @ chase.astype(jnp.float32)  # (N,) 1 if chasing
+        delta = jnp.where(point_norm[:, None] > 0,
+                          STEP * grad / jnp.maximum(point_norm, 1e-30)[:, None],
+                          1e-8)
+        new = x + sign * delta * point_chase[:, None]
+        # per-point displacement clip onto the 0.03 ball around the original
+        diff = new - orig
+        dist = jnp.linalg.norm(diff, axis=1)
+        over = (dist > DIST_THRESHOLD) & (point_chase > 0)
+        clipped = orig + DIST_THRESHOLD * diff / jnp.maximum(
+            dist, 1e-30)[:, None]
+        new = jnp.where(over[:, None], clipped, new)
+        counts = masks @ over.astype(jnp.float32)          # (R,)
+        # stop conditions (reference :169-181), latched per region
+        all_oob = ~jnp.any(in_bound, axis=1)
+        stop = (counts / num_pts > STOP_RATIO) | all_oob | (iters + 1
+                                                            > MAX_ITERATION)
+        new_act = act & ~(chase & stop)
+        new_iters = iters + chase.astype(jnp.int32)
+        new_smooth = jnp.where(chase, sm, smooth)
+        return new, new_smooth, new_act, new_iters, chase & stop
+
+    def cond(state):
+        _, smooth, act, _, _ = state
+        return jnp.any(act & not_reached(smooth))
+
+    init = (data, smooth_prev, active, jnp.zeros((R,), jnp.int32),
+            jnp.zeros((R,), bool))
+    x, smooth, act, _, _ = jax.lax.while_loop(cond, body, init)
+    return x, smooth, act
+
+
 def update_region(data_copy: np.ndarray, orig: np.ndarray, mask: np.ndarray,
                   orientations: np.ndarray, bounds: np.ndarray,
                   smoothness_prev: float, mode: str, objective: str,
@@ -197,29 +287,34 @@ def test_all_region(engine, data: np.ndarray, lbl: int, orders: np.ndarray,
         bounds.append(np.stack([v + VAR_THRESHOLD, v - VAR_THRESHOLD]))
         smooth_prev.append(region_smoothness_np(pts, mode))
 
-    indicators = [True] * R
+    data_j = jnp.asarray(data_copy)
+    orig_j = jnp.asarray(orig)
+    masks_j = jnp.asarray(np.stack(masks))
+    orients_j = jnp.asarray(np.stack(orients), jnp.float32)
+    bounds_j = jnp.asarray(np.stack(bounds), jnp.float32)
+    smooth_j = jnp.asarray(np.array(smooth_prev), jnp.float32)
+    active_j = jnp.ones((R,), bool)
+
     smoothness_list, data_list, sv_list, logits_list = [], [], [], []
     for epoch in range(EPOCH):
         io.cprint("\n************ epoch %d ***********" % epoch)
-        smooth_epoch = []
-        for r in range(R):
-            s = smooth_prev[r]
-            if indicators[r]:
-                data_copy, s, if_update = update_region(
-                    data_copy, orig, masks[r], orients[r], bounds[r],
-                    smooth_prev[r], mode, objective, io)
-                smooth_prev[r] = s
-                indicators[r] = if_update
-            smooth_epoch.append(s)
-        smoothness_list.append(smooth_epoch)
+        step = ENUM_STEP if objective == "inc" else -ENUM_STEP
+        targets = jnp.where(active_j, smooth_j + step, smooth_j)
+        data_j, smooth_j, active_j = smoothness_epoch_all_regions(
+            data_j, orig_j, masks_j, orients_j, bounds_j, smooth_j,
+            active_j, targets, mode, objective)
+        smooth_np = np.asarray(smooth_j)
+        smoothness_list.append(smooth_np.tolist())
+        data_copy = np.asarray(data_j)
         data_list.append(data_copy[None].copy())
+        io.cprint("curr smoothness: %s" % str(smooth_np))
 
         sv, logits = engine.shapley_for_pose(
             data_copy, lbl, region_id, orders, return_logits=True)
         sv_list.append(sv)
         logits_list.append(logits)
         io.cprint("region shapley value: %s" % str(sv))
-        if not any(indicators):
+        if not bool(np.asarray(active_j).any()):
             break
 
     save_npy(result_path + "region_shapley_value.npy", np.array(sv_list))

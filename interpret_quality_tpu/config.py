@@ -85,7 +85,21 @@ CONFIG = {
         "gcnn": 50,
         "pointconv": 100,
     },
+    # poses batched per device step in perturbation enumeration; the
+    # effective forward batch is pose_chunk * shapley_batch_size * (R+1)
+    "enum_pose_chunk": {
+        "pointnet2": 1,
+        "pointnet": 8,
+        "dgcnn": 1,
+        "gcnn": 1,
+        "pointconv": 1,
+    },
 }
+
+
+def enum_pose_chunk(model: str) -> int:
+    key = "gcnn" if model == "gcnn_adv" else model
+    return CONFIG["enum_pose_chunk"][key]
 
 
 def shapley_batch_size(model: str) -> int:

@@ -37,19 +37,57 @@ def build_model(name: str, num_classes: int = 10, k: int = 20):
 
 def init_model(model, rng: jax.Array, num_points: int = 1024,
                batch: int = 2) -> Dict[str, Any]:
-    """Initialise parameters + batch stats with a dummy batch."""
-    dummy = jnp.zeros((batch, num_points, 3), jnp.float32)
-    variables = model.init({"params": rng}, dummy, train=False)
+    """Initialise parameters + batch stats with a dummy batch.
+
+    Runs on the host CPU backend: eager flax init issues dozens of small
+    ops, and through the TPU tunnel each one costs a compile round trip
+    (~50 s total, measured).  The fused Pallas eval paths are disabled for
+    the init trace (they cannot run on CPU); parameter structure is
+    identical either way.
+    """
+    from .dgcnn import _DGCNNBase
+    fusable = (_DGCNNBase, PointNet2ClsMsg, PointConvDensityClsSsg)
+    kwargs = {"fused": False} if isinstance(model, fusable) else {}
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        # inputs must be CPU-committed too: jit follows committed inputs,
+        # not default_device
+        dummy = jnp.zeros((batch, num_points, 3), jnp.float32, device=cpu)
+        rng = jax.device_put(rng, cpu)
+        variables = jax.jit(
+            lambda d: model.init({"params": rng}, d, train=False, **kwargs)
+        )(dummy)
     return variables
 
 
-def make_forward_fn(model, variables, train: bool = False) -> Callable:
-    """Return logits_fn(x: (B, N, 3)) -> (B, num_class), closed over params."""
+class ForwardFn:
+    """Logits function ``(B, N, 3) -> (B, num_class)``.
 
-    def forward(x):
-        out = model.apply(variables, x, train=train)
-        if isinstance(out, tuple):       # PointNet returns (logits, trans_feat, crt)
+    Callable directly (closure semantics), but also exposes
+    ``(apply_fn, variables)`` so the attribution engines can pass the
+    parameters as jit *arguments*.  Closing over them bakes the whole
+    parameter set into every compiled program as MLIR constants — slow
+    lowering (one host fetch per array), multi-MB payloads through the
+    tunnel's remote compiler, and bloated cache entries.
+
+    Normalises the PointNet tuple return (reference tools/final_common.py:36-39).
+    """
+
+    def __init__(self, model, variables, train: bool = False):
+        self.model = model
+        self.variables = variables
+        self.train = train
+
+    def apply_fn(self, variables, x):
+        out = self.model.apply(variables, x, train=self.train)
+        if isinstance(out, tuple):   # PointNet returns (logits, trans_feat, crt)
             out = out[0]
         return out
 
-    return forward
+    def __call__(self, x):
+        return self.apply_fn(self.variables, x)
+
+
+def make_forward_fn(model, variables, train: bool = False) -> Callable:
+    """Return a ForwardFn (callable; exposes .apply_fn/.variables)."""
+    return ForwardFn(model, variables, train)

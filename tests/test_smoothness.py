@@ -77,3 +77,54 @@ def test_update_region_respects_distance_bound():
     disp = np.linalg.norm(new - cloud, axis=1)
     assert disp.max() <= 0.03 + 1e-5
     assert disp[20:].max() == 0.0
+
+
+def test_batched_epoch_matches_sequential():
+    """One fused device epoch == the reference's sequential per-region loop
+    (region objectives/updates have disjoint support)."""
+    import jax.numpy as jnp
+    from interpret_quality_tpu.attrib.smoothness import (
+        ENUM_STEP, VAR_THRESHOLD, principal_orientations,
+        region_smoothness_np, smoothness_epoch_all_regions, update_region)
+
+    rng = np.random.RandomState(0)
+    N, R = 96, 4
+    data = rng.randn(N, 3).astype(np.float32) * 0.2
+    region_id = np.repeat(np.arange(R), N // R)
+    orig = data.copy()
+
+    masks, orients, bounds, smooth_prev = [], [], [], []
+    for r in range(R):
+        m = region_id == r
+        pts = orig[m]
+        o1, o2, o3 = principal_orientations(pts)
+        v = np.array([np.var(pts @ o, ddof=1) for o in (o1, o2, o3)])
+        masks.append(m.astype(np.float32))
+        orients.append(np.stack([o1, o2, o3]).astype(np.float32))
+        bounds.append(np.stack([v + VAR_THRESHOLD,
+                                v - VAR_THRESHOLD]).astype(np.float32))
+        smooth_prev.append(region_smoothness_np(pts, "linearity"))
+
+    # sequential reference path
+    seq_data = data.copy()
+    seq_smooth, seq_active = [], []
+    for r in range(R):
+        seq_data, s, keep = update_region(
+            seq_data, orig, masks[r], orients[r], bounds[r],
+            smooth_prev[r], "linearity", "inc")
+        seq_smooth.append(s)
+        seq_active.append(keep)
+
+    # batched path
+    sm = jnp.asarray(np.array(smooth_prev), jnp.float32)
+    out_data, out_smooth, out_active = smoothness_epoch_all_regions(
+        jnp.asarray(data), jnp.asarray(orig), jnp.asarray(np.stack(masks)),
+        jnp.asarray(np.stack(orients)), jnp.asarray(np.stack(bounds)),
+        sm, jnp.ones((R,), bool), sm + ENUM_STEP, "linearity", "inc")
+
+    np.testing.assert_allclose(np.asarray(out_data), seq_data,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_smooth), np.array(seq_smooth),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_active),
+                                  np.array(seq_active))
