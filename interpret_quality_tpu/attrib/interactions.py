@@ -401,8 +401,13 @@ def run_cal_interactions(cfg: ExperimentConfig, mode_name: str = "rotate",
     def cal_all_orders(label, save_path):
         from ..utils.io import load_torch_tensor
         for ratio in ratios:
-            logits = load_torch_tensor(
-                save_path + "ratio%d_all_logits.pt" % int(ratio * 100))
+            path = save_path + "ratio%d_all_logits.pt" % int(ratio * 100)
+            if not os.path.exists(path):
+                # regions with no ball-query neighbours have no pairs and the
+                # logits stage skipped them (mirrors its "no pairs" skip)
+                print(f"  {path}: missing (no pairs), skipping")
+                continue
+            logits = load_torch_tensor(path)
             inter = compute_order_interaction(logits, label, cfg.softmax_type)
             save_npy(save_path + "ratio%d_%s_interaction.npy"
                      % (int(ratio * 100), output_type), inter)

@@ -71,6 +71,12 @@ def get_interaction_single_region(cfg: ExperimentConfig, mode: str,
         for rf in sorted(os.listdir(single_folder)):
             if not os.path.isdir(single_folder + rf) or int(rf[10:12]) != 1:
                 continue
+            first = (single_folder + rf + "/normal/ratio%d_%s_interaction.npy"
+                     % (int(ratios[0] * 100), output_type))
+            if not os.path.exists(first):
+                # rank-1 region had no ball-query neighbours -> no pairs were
+                # generated and the logits/score stages skipped it
+                continue
             row_m, row_a = [], []
             for ratio in ratios:
                 inter = np.load(single_folder + rf
@@ -80,6 +86,9 @@ def get_interaction_single_region(cfg: ExperimentConfig, mode: str,
                 row_a.append(np.abs(inter.mean(axis=1)).mean())
             pose_mean.append(row_m)
             pose_abs.append(row_a)
+        if not pose_mean:      # keep the (num_pc, 1, ratios) shape: zeros
+            pose_mean = [[0.0] * len(ratios)]
+            pose_abs = [[0.0] * len(ratios)]
         all_mean.append(pose_mean)
         all_abs.append(pose_abs)
     return np.array(all_mean), np.array(all_abs)
@@ -160,13 +169,19 @@ def plot_all_models(fig_root: str = "figures",
     nmodels = len(model_names)
     fig, axes = plt.subplots(2 * len(datasets), nmodels,
                              figsize=(5 * nmodels, 16), dpi=100)
+    import os
     for di, dataset in enumerate(datasets):
         save_dir = f"{fig_root}/interaction_final_{dataset}/"
         for mi, model_name in enumerate(model_names):
-            normal = np.load(save_dir + f"{model_name}_{dataset}_mean_inter_normal.npy")
-            adv = np.load(save_dir + f"{model_name}_{dataset}_mean_inter_adv.npy")
-            sr = np.load(save_dir
-                         + f"{model_name}_{dataset}_mean_inter_single_region.npy")
+            base = save_dir + f"{model_name}_{dataset}_mean_inter_"
+            if not os.path.exists(base + "normal.npy"):
+                # aggregates not generated yet for this model/dataset
+                # (run plot_mode=single_region_vs_normal_avg first)
+                print(f"  {base}normal.npy missing, panel skipped")
+                continue
+            normal = np.load(base + "normal.npy")
+            adv = np.load(base + "adv.npy")
+            sr = np.load(base + "single_region.npy")
             _bar_double(axes[di, mi], orders, np.abs(normal).mean(axis=0),
                         np.abs(adv).mean(axis=0),
                         title=f"{MODEL_NAMES_SHOW[mi]} ({dataset})",
