@@ -201,23 +201,31 @@ def run_gen_pair(cfg: ExperimentConfig, mode_name: str = "rotate",
             gen_context(pair_list, region_folder, cfg.num_regions, ratios,
                         num_save_context_max)
 
-        # ---- predicted labels at the adv / max / min poses
-        def save_pred(save_path):
+        # ---- predicted labels at the adv / max / min poses.  Dispatch all
+        # ~65 single-pose forwards first, fetch once: each blocking fetch
+        # costs a tunnel round trip.
+        pred_jobs = []
+
+        def queue_pred(save_path):
             params = np.load(save_path + "transform_params.npy").astype(np.float32)
             dd = disturb_one(jnp.asarray(data), jnp.asarray(params))
             lg = fwd(dd[None]) if dd.ndim == 2 else fwd(dd)
-            p = int(np.asarray(jnp.argmax(lg, axis=1))[0])
-            with open(save_path + "pred_labels.txt", "w") as f:
-                f.write("lbl: %d\npred_lbl: %d\n" % (lbl, p))
-            save_npy(save_path + "pred_labels.npy", np.array([lbl, p]))
+            pred_jobs.append((save_path, jnp.argmax(lg, axis=1)))
 
-        save_pred(inter_folder + f"{mode_name}_adv/")
+        queue_pred(inter_folder + f"{mode_name}_adv/")
         for rf in sorted(os.listdir(single_region_folder)):
             region_folder = single_region_folder + rf + "/"
             if not os.path.isdir(region_folder):
                 continue
-            save_pred(region_folder + "max_pose/")
-            save_pred(region_folder + "min_pose/")
+            queue_pred(region_folder + "max_pose/")
+            queue_pred(region_folder + "min_pose/")
+        for _, pa in pred_jobs:
+            pa.copy_to_host_async()
+        for save_path, pa in pred_jobs:
+            p = int(np.asarray(pa)[0])
+            with open(save_path + "pred_labels.txt", "w") as f:
+                f.write("lbl: %d\npred_lbl: %d\n" % (lbl, p))
+            save_npy(save_path + "pred_labels.npy", np.array([lbl, p]))
 
 
 # ---------------------------------------------------------------------------
