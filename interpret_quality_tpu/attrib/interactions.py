@@ -307,6 +307,8 @@ class InteractionEngine:
             logits = self._step(self._variables, data, jnp.asarray(keep),
                                 region_id_j)
             chunks.append((logits, c))
+        for lg, _ in chunks:                     # overlap the transfers
+            lg.copy_to_host_async()
         flat = np.concatenate(
             [np.asarray(lg).reshape(bs, 4, -1)[:c] for lg, c in chunks], axis=0)
         return flat.reshape(num_pairs, 4 * num_context, -1)

@@ -80,7 +80,7 @@ CONFIG = {
     },
     "interaction_batch_size": {
         "pointnet2": 50,
-        "pointnet": 200,
+        "pointnet": 400,   # 1600-row forwards; pairs are batched together
         "dgcnn": 50,
         "gcnn": 50,
         "pointconv": 100,
