@@ -190,16 +190,14 @@ class ShapleyEngine:
         orders = np.asarray(orders)
         S = orders.shape[0]
         bs = min(self.batch_orders, S)
-        if S % bs != 0:
-            raise ValueError(f"num orders {S} not divisible by batch {bs}")
         data_batch = jnp.asarray(data_batch)
         region_id = jnp.asarray(region_id)
         label = jnp.asarray(label)
 
         sv_sum = None
         logits_chunks = []
-        for i in range(S // bs):
-            chunk = orders[i * bs:(i + 1) * bs]
+        for start in range(0, S, bs):
+            chunk = orders[start:start + bs]   # ragged tail compiles once
             keep, chunk_dev = self._keep_for(chunk)
             sv, logits = self._step_poses(
                 self._variables, data_batch, keep, chunk_dev,
@@ -241,8 +239,6 @@ class ShapleyEngine:
         orders = np.asarray(orders)
         S = orders.shape[0]
         bs = min(self.batch_orders, S)
-        if S % bs != 0:
-            raise ValueError(f"num orders {S} not divisible by batch {bs}")
         data = jnp.asarray(data)
         region_id = jnp.asarray(region_id)
         label = jnp.asarray(label)
@@ -250,8 +246,8 @@ class ShapleyEngine:
         sv_sum = None
         logits_chunks = []
         per_order_chunks = []
-        for i in range(S // bs):
-            chunk = orders[i * bs:(i + 1) * bs]
+        for start in range(0, S, bs):
+            chunk = orders[start:start + bs]   # ragged tail compiles once
             keep, chunk_dev = self._keep_for(chunk)
             sv, dv_by_region, logits = self._step(
                 self._variables, data, keep, chunk_dev, region_id, label)

@@ -194,3 +194,33 @@ def test_region_id_from_fps():
     centers = data[fps_index]
     want = np.argmin(((data[:, None] - centers[None]) ** 2).sum(-1), axis=1)
     np.testing.assert_array_equal(rid, want)
+
+
+def test_ragged_order_chunking_matches_single_chunk():
+    """batch_orders that does not divide the order count (e.g. 30 vs 100 in
+    enumeration) processes a ragged tail chunk with identical results."""
+    import jax
+    from interpret_quality_tpu.attrib import ShapleyEngine
+    from interpret_quality_tpu.models import (build_model, init_model,
+                                              make_forward_fn)
+
+    rng = np.random.RandomState(0)
+    model = build_model("pointnet", num_classes=10)
+    variables = init_model(model, jax.random.PRNGKey(0), num_points=64)
+    fwd = make_forward_fn(model, variables)
+    cloud = rng.randn(64, 3).astype(np.float32)
+    region_id = rng.randint(0, 32, 64)
+    region_id[:32] = np.arange(32)
+    orders = np.stack([rng.permutation(32) for _ in range(10)])
+
+    e_ragged = ShapleyEngine(fwd, 32, "modified", batch_orders=3)
+    e_single = ShapleyEngine(fwd, 32, "modified", batch_orders=10)
+    sv1 = e_ragged.shapley_for_pose(cloud, 1, region_id, orders)
+    sv2 = e_single.shapley_for_pose(cloud, 1, region_id, orders)
+    np.testing.assert_allclose(sv1, sv2, rtol=1e-4, atol=1e-6)
+
+    poses = np.stack([cloud, cloud + 0.01])
+    svp1, lg1 = e_ragged.shapley_for_poses(poses, 1, region_id, orders)
+    svp2, lg2 = e_single.shapley_for_poses(poses, 1, region_id, orders)
+    np.testing.assert_allclose(svp1, svp2, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(lg1, lg2, rtol=1e-4, atol=1e-5)
