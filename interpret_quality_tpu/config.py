@@ -74,8 +74,8 @@ CONFIG = {
     "shapley_batch_size": {
         "pointnet2": 20,  # fused SA kernels; persistent compile cache
         "pointnet": 100,
-        "dgcnn": 30,      # fused Pallas edge-conv: VMEM use is batch-invariant
-        "gcnn": 30,       # and throughput rises ~18% from 10 -> 30 (measured)
+        "dgcnn": 50,      # fused Pallas edge-conv: VMEM use is batch-invariant;
+        "gcnn": 50,       # 50 divides the 100-order enum chunks and is fastest
         "pointconv": 20,
     },
     "interaction_batch_size": {
