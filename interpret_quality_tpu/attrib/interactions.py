@@ -20,7 +20,6 @@ ratio<r>_{gt,pred}_interaction.npy).
 from __future__ import annotations
 
 import itertools
-import math
 import os
 import time
 from typing import List, Optional, Sequence
@@ -36,7 +35,7 @@ from ..config import (BALL_QUERY_COEF, ExperimentConfig,
 from ..pipeline import load_frozen_model, make_engine, resolve_dataset
 from ..utils.io import IOStream, mkdir, save_npy, save_torch_tensor
 from ..utils.rng import cal_rank, set_random
-from .coalitions import interaction_masks, masked_interaction_batch
+from .coalitions import masked_interaction_batch
 from .perturbations import MODES
 from .reward import reward_from_logits
 

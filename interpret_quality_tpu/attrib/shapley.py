@@ -10,15 +10,13 @@ sharding axis over a TPU mesh.
 """
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .coalitions import (keep_matrix_from_orders, masked_coalitions,
-                         scatter_marginals)
+from .coalitions import keep_matrix_from_orders, masked_coalitions
 from .reward import reward_from_logits
 
 

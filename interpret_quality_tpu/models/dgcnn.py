@@ -29,7 +29,6 @@ activations) — attribution, the hot workload, is always eval-mode.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -8,7 +8,7 @@ grouped_xyz_offset]), a group-all stage whose grouped xyz is *uncentred*
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -7,7 +7,7 @@ interaction engine, benchmarks).  It normalises the PointNet tuple return
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp

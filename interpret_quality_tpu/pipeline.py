@@ -7,7 +7,6 @@ end-to-end without the original datasets or checkpoints on disk.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

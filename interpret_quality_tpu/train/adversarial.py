@@ -14,7 +14,6 @@ Attack semantics (matching main_cls_adv.py):
 """
 from __future__ import annotations
 
-import functools
 import math
 from typing import Callable, Optional
 
