@@ -40,6 +40,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "own 500-order sampling noise (measured) at ~3.5x "
                         "pipeline speed; 'highest' reproduces the "
                         "reference's fp32 numerics")
+    p.add_argument("--gather_precision", type=str, default="bf16",
+                   choices=["bf16", "hilo"],
+                   help="value precision of the fused Pallas neighbour "
+                        "gathers (graph models): 'bf16' (~2^-9 relative, "
+                        "~half the gather cost) or 'hilo' (~2^-16)")
     return p
 
 
@@ -48,6 +53,9 @@ def config_from_args(args) -> ExperimentConfig:
         import jax
         jax.config.update("jax_default_matmul_precision",
                           args.matmul_precision)
+    if getattr(args, "gather_precision", "bf16") == "hilo":
+        from ..config import set_gather_value_parts
+        set_gather_value_parts(2)
     return ExperimentConfig(
         model=args.model, dataset=args.dataset, seed=args.seed,
         softmax_type=args.softmax_type, model_path=args.model_path,

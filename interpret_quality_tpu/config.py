@@ -97,6 +97,23 @@ CONFIG = {
 }
 
 
+# bf16 planes carrying gathered neighbour values in the fused Pallas graph
+# kernels: 1 = plain bf16 (~2^-9 relative on gathered activations — far below
+# the Shapley estimator's 100-order sampling std, and ~half the gather-matmul
+# cost), 2 = hi/lo pair (~2^-16).  CLI knob: --gather_precision {bf16,hilo}.
+_GATHER_VALUE_PARTS = 1
+
+
+def set_gather_value_parts(parts: int) -> None:
+    assert parts in (1, 2), parts
+    global _GATHER_VALUE_PARTS
+    _GATHER_VALUE_PARTS = parts
+
+
+def gather_value_parts() -> int:
+    return _GATHER_VALUE_PARTS
+
+
 def enum_pose_chunk(model: str) -> int:
     key = "gcnn" if model == "gcnn_adv" else model
     return CONFIG["enum_pose_chunk"][key]

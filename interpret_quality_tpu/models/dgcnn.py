@@ -34,6 +34,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..config import gather_value_parts
 from ..ops.geometry import knn
 from ..ops.pallas import gather_extrema, knn_gather_extrema, knn_pallas
 from .common import BN_EPS, BN_MOMENTUM, ConvBN, leaky_relu02, on_tpu
@@ -117,9 +118,10 @@ class EdgeConv(nn.Module):
         a = x @ w1                                       # (B, N, F)
         b = x @ (w2 - w1)                                # (B, N, F)
         if fused and graph_feat is not None:
-            amax, amin = knn_gather_extrema(graph_feat, a, k)
+            amax, amin = knn_gather_extrema(graph_feat, a, k,
+                                            parts=gather_value_parts())
         elif fused:
-            amax, amin = gather_extrema(idx, a)
+            amax, amin = gather_extrema(idx, a, parts=gather_value_parts())
         else:
             amax = jnp.full_like(a, -jnp.inf)
             amin = jnp.full_like(a, jnp.inf)

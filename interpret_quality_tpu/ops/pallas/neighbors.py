@@ -39,6 +39,15 @@ def _split_hilo(a: jnp.ndarray):
     return hi, lo
 
 
+def _split_parts(a: jnp.ndarray, parts: int) -> jnp.ndarray:
+    """f32 -> (..., parts*F) bf16 planes; summing the planes recovers ``a``
+    to ~8 mantissa bits (parts=1) or ~16 (parts=2)."""
+    if parts == 1:
+        return a.astype(jnp.bfloat16)
+    hi, lo = _split_hilo(a)
+    return jnp.concatenate([hi, lo], axis=-1)
+
+
 def _dist_tile(xq, xdb_t):
     """Squared-distance tile: xq (Q, C) f32, xdb_t (C, N) f32 -> (Q, N)."""
     inner = jax.lax.dot_general(
@@ -62,12 +71,13 @@ def _select_min(dist, col):
     return onehot, jnp.where(onehot, _BIG, dist)
 
 
-def _extrema_kernel(xq_ref, xdbt_ref, ahl_ref, omax_ref, omin_ref, *, k: int):
+def _extrema_kernel(xq_ref, xdbt_ref, ahl_ref, omax_ref, omin_ref, *, k: int,
+                    parts: int):
     dist = _dist_tile(xq_ref[0], xdbt_ref[0])
     q, n = dist.shape
-    f = ahl_ref.shape[-1] // 2
+    f = ahl_ref.shape[-1] // parts
     col = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
-    ahl = ahl_ref[0]                                       # (N, 2F) bf16
+    ahl = ahl_ref[0]                                       # (N, parts*F) bf16
 
     amax = jnp.full((q, f), -_BIG, jnp.float32)
     amin = jnp.full((q, f), _BIG, jnp.float32)
@@ -75,7 +85,7 @@ def _extrema_kernel(xq_ref, xdbt_ref, ahl_ref, omax_ref, omin_ref, *, k: int):
         onehot, dist = _select_min(dist, col)
         oh = onehot.astype(jnp.bfloat16)
         ghl = jnp.dot(oh, ahl, preferred_element_type=jnp.float32)
-        g = ghl[:, :f] + ghl[:, f:]                        # hi + lo
+        g = ghl if parts == 1 else ghl[:, :f] + ghl[:, f:]   # hi (+ lo)
         amax = jnp.maximum(amax, g)
         amin = jnp.minimum(amin, g)
     omax_ref[0] = amax
@@ -83,9 +93,10 @@ def _extrema_kernel(xq_ref, xdbt_ref, ahl_ref, omax_ref, omin_ref, *, k: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "block_q", "interpret"))
+                   static_argnames=("k", "block_q", "parts", "interpret"))
 def knn_gather_extrema(xs: jnp.ndarray, a: jnp.ndarray, k: int,
-                       block_q: int = 256, interpret: bool = False):
+                       block_q: int = 256, parts: int = 2,
+                       interpret: bool = False):
     """Per-point extrema of value rows over the k nearest neighbours.
 
     Args:
@@ -93,6 +104,8 @@ def knn_gather_extrema(xs: jnp.ndarray, a: jnp.ndarray, k: int,
           exact `jax.lax.top_k` tie semantics).
       a:  (B, N, F) float32 — value rows to gather.
       k:  neighbourhood size.
+      parts: bf16 planes carrying the values — 2 (hi/lo, ~2^-16 relative
+          exact) or 1 (plain bf16, ~2^-9, halves the gather matmuls).
     Returns:
       (amax, amin): (B, N, F) float32 each;
       amax[b, i] = max over j in kNN(i) of a[b, j] (elementwise), etc.
@@ -103,10 +116,9 @@ def knn_gather_extrema(xs: jnp.ndarray, a: jnp.ndarray, k: int,
     assert N % bq == 0, (N, bq)
     xs = xs.astype(jnp.float32)
     xs_t = jnp.swapaxes(xs, 1, 2)                          # (B, C, N)
-    ahi, alo = _split_hilo(a.astype(jnp.float32))
-    ahl = jnp.concatenate([ahi, alo], axis=-1)             # (B, N, 2F)
+    ahl = _split_parts(a.astype(jnp.float32), parts)       # (B, N, parts*F)
 
-    kernel = functools.partial(_extrema_kernel, k=k)
+    kernel = functools.partial(_extrema_kernel, k=k, parts=parts)
     out_shape = jax.ShapeDtypeStruct((B, N, F), jnp.float32)
     omax, omin = pl.pallas_call(
         kernel,
@@ -116,7 +128,7 @@ def knn_gather_extrema(xs: jnp.ndarray, a: jnp.ndarray, k: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C, N), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 2 * F), lambda b, q: (b, 0, 0),
+            pl.BlockSpec((1, N, parts * F), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -131,10 +143,11 @@ def knn_gather_extrema(xs: jnp.ndarray, a: jnp.ndarray, k: int,
     return omax, omin
 
 
-def _idx_extrema_kernel(idx_ref, ahl_ref, omax_ref, omin_ref, *, k: int):
+def _idx_extrema_kernel(idx_ref, ahl_ref, omax_ref, omin_ref, *, k: int,
+                        parts: int):
     q = idx_ref.shape[1]
     n = ahl_ref.shape[1]
-    f = ahl_ref.shape[-1] // 2
+    f = ahl_ref.shape[-1] // parts
     col = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
     ahl = ahl_ref[0]
     amax = jnp.full((q, f), -_BIG, jnp.float32)
@@ -143,16 +156,17 @@ def _idx_extrema_kernel(idx_ref, ahl_ref, omax_ref, omin_ref, *, k: int):
         sel = idx_ref[0, :, j:j + 1]                       # (Q, 1) int32
         oh = (col == sel).astype(jnp.bfloat16)
         ghl = jnp.dot(oh, ahl, preferred_element_type=jnp.float32)
-        g = ghl[:, :f] + ghl[:, f:]                        # hi + lo
+        g = ghl if parts == 1 else ghl[:, :f] + ghl[:, f:]   # hi (+ lo)
         amax = jnp.maximum(amax, g)
         amin = jnp.minimum(amin, g)
     omax_ref[0] = amax
     omin_ref[0] = amin
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_q", "parts", "interpret"))
 def gather_extrema(idx: jnp.ndarray, a: jnp.ndarray,
-                   block_q: int = 256, interpret: bool = False):
+                   block_q: int = 256, parts: int = 2,
+                   interpret: bool = False):
     """Per-point extrema of value rows over precomputed neighbour indices.
 
     The fixed-graph (GCNN) companion of `knn_gather_extrema`: the kNN graph
@@ -169,10 +183,9 @@ def gather_extrema(idx: jnp.ndarray, a: jnp.ndarray,
     F = a.shape[-1]
     bq = min(block_q, N)
     assert N % bq == 0, (N, bq)
-    ahi, alo = _split_hilo(a.astype(jnp.float32))
-    ahl = jnp.concatenate([ahi, alo], axis=-1)
+    ahl = _split_parts(a.astype(jnp.float32), parts)
 
-    kernel = functools.partial(_idx_extrema_kernel, k=k)
+    kernel = functools.partial(_idx_extrema_kernel, k=k, parts=parts)
     out_shape = jax.ShapeDtypeStruct((B, N, F), jnp.float32)
     omax, omin = pl.pallas_call(
         kernel,
@@ -180,7 +193,7 @@ def gather_extrema(idx: jnp.ndarray, a: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, bq, k), lambda b, q: (b, q, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 2 * F), lambda b, q: (b, 0, 0),
+            pl.BlockSpec((1, N, parts * F), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(

@@ -75,20 +75,51 @@ def test_gather_extrema_matches_oracle(data):
                                atol=5e-5)
 
 
+def test_gather_extrema_parts1_tolerance(data):
+    """parts=1 (single bf16) gathers: exact selection, values to ~2^-9."""
+    xs, a = data
+    g = index_points(a, knn(xs, K))
+    tol = float(jnp.max(jnp.abs(a))) * 2.0 ** -8
+    amax, amin = knn_gather_extrema(xs, a, K, parts=1, interpret=True)
+    np.testing.assert_allclose(np.asarray(amax), np.asarray(g.max(axis=2)),
+                               atol=tol)
+    np.testing.assert_allclose(np.asarray(amin), np.asarray(g.min(axis=2)),
+                               atol=tol)
+    rng = np.random.RandomState(3)
+    idx = jnp.asarray(rng.randint(0, N, (B, N, K)).astype(np.int32))
+    g = index_points(a, idx)
+    amax, amin = gather_extrema(idx, a, parts=1, interpret=True)
+    np.testing.assert_allclose(np.asarray(amax), np.asarray(g.max(axis=2)),
+                               atol=tol)
+    np.testing.assert_allclose(np.asarray(amin), np.asarray(g.min(axis=2)),
+                               atol=tol)
+
+
 @pytest.mark.parametrize("name", ["dgcnn", "gcnn"])
 def test_fused_model_path_matches_xla(name):
     """Full DGCNN/GCNN forward: fused Pallas path vs XLA path."""
     from jax.experimental.pallas import tpu as pltpu
+
+    from interpret_quality_tpu.config import set_gather_value_parts
 
     model = build_model(name, num_classes=10, k=4)
     variables = init_model(model, jax.random.PRNGKey(0), num_points=64)
     rng = np.random.RandomState(4)
     x = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
     ref = model.apply(variables, x, train=False, fused=False)
-    with pltpu.force_tpu_interpret_mode():
-        out = model.apply(variables, x, train=False, fused=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-3, atol=2e-4)
+    try:
+        set_gather_value_parts(2)                    # hi/lo: ~2^-16 values
+        with pltpu.force_tpu_interpret_mode():
+            out = model.apply(variables, x, train=False, fused=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-4)
+        set_gather_value_parts(1)                    # default: plain bf16
+        with pltpu.force_tpu_interpret_mode():
+            out = model.apply(variables, x, train=False, fused=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=4e-2, atol=4e-3)
+    finally:
+        set_gather_value_parts(1)
 
 
 def test_gather_rows_matches_oracle(data):
