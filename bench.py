@@ -60,10 +60,15 @@ def main():
     engine = ShapleyEngine(fwd, num_regions=R, softmax_type="modified",
                            batch_orders=orders_per_step)
 
-    rng = np.random.RandomState(0)
-    cloud = rng.randn(args.num_points, 3).astype(np.float32)
-    region_id = rng.randint(0, R, args.num_points)
-    region_id[:R] = np.arange(R)
+    # a realistic unit-sphere surface cloud with FPS regions (ball-query
+    # occupancy and graph structure match production, unlike a random blob)
+    from interpret_quality_tpu.data.datasets import (SyntheticClouds,
+                                                     farthest_point_sample_np)
+    cloud, _ = SyntheticClouds(num_samples=1,
+                               num_points=args.num_points)[0]
+    centers = farthest_point_sample_np(cloud, R)
+    d2 = ((cloud[:, None, :] - cloud[centers][None, :, :]) ** 2).sum(-1)
+    region_id = d2.argmin(axis=1)
 
     def run_orders(n, seed):
         r = np.random.RandomState(seed)

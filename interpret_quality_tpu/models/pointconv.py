@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..ops.geometry import (compute_density, farthest_point_sample,
                             index_points, knn_point)
+from ..config import gather_value_parts
 from ..ops.pallas import fps_pallas, gather_rows, knn_pallas
 from .common import BN_EPS, BN_MOMENTUM, MLPStack, on_tpu
 
@@ -99,7 +100,7 @@ class PointConvDensitySA(nn.Module):
             # one combined gather: [u | xyz | inv_density]
             vals = jnp.concatenate(
                 [u, xyz, inv_density[..., None]], axis=-1)
-            g = gather_rows(vals, idx)                            # (B,S,K,C1+4)
+            g = gather_rows(vals, idx, parts=gather_value_parts())  # (B,S,K,C1+4)
             C1 = u.shape[-1]
             h = jnp.maximum(g[..., :C1] - csw[:, :, None, :], 0.0)
             for (A, b) in folded[1:]:

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from ..ops.geometry import (farthest_point_sample, index_points,
                             query_ball_point)
+from ..config import gather_value_parts
 from ..ops.pallas import fps_pallas, fused_ball_mlp3
 from .common import MLPStack, on_tpu
 
@@ -58,7 +59,8 @@ class SetAbstractionMsg(nn.Module):
                 csw = new_xyz @ A1[D:]                     # (B, S, C1)
                 outs.append(fused_ball_mlp3(new_xyz, xyz, u, csw,
                                             A2, b2, A3, b3,
-                                            radius=radius, k=K))
+                                            radius=radius, k=K,
+                                            parts=gather_value_parts()))
                 continue
             group_idx = query_ball_point(radius, K, xyz, new_xyz)
             grouped_xyz = index_points(xyz, group_idx)           # (B, S, K, 3)

@@ -30,14 +30,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .neighbors import _dist_tile, _split_hilo
+from .neighbors import _dist_tile, _split_parts
 
 _BIG = 1e30
 
 
 def _ball_mlp3_kernel(newxyz_ref, xyzt_ref, uhl_ref, csw_ref,
                       a2_ref, b2_ref, a3_ref, b3_ref, out_ref,
-                      *, k: int, radius2: float):
+                      *, k: int, radius2: float, parts: int):
     dist = _dist_tile(newxyz_ref[0], xyzt_ref[0])          # (Sq, N) f32
     sq, n = dist.shape
     in_ball = dist <= radius2
@@ -52,7 +52,7 @@ def _ball_mlp3_kernel(newxyz_ref, xyzt_ref, uhl_ref, csw_ref,
     sel_rank = jnp.where(in_ball, rank, -1.0)              # (Sq, N)
     fill_oh = (sel_rank == 1.0).astype(jnp.bfloat16)       # first in-ball
 
-    uhl = uhl_ref[0]                                       # (N, 2*C1) bf16
+    uhl = uhl_ref[0]                                       # (N, parts*C1) bf16
     csw = csw_ref[0]                                       # (Sq, C1)
     c1 = csw.shape[-1]
     a2, b2 = a2_ref[:], b2_ref[:]
@@ -65,7 +65,7 @@ def _ball_mlp3_kernel(newxyz_ref, xyzt_ref, uhl_ref, csw_ref,
         ohb = jnp.where(nball > fj,
                         (sel_rank == fj + 1.0).astype(jnp.bfloat16), fill_oh)
         ghl = jnp.dot(ohb, uhl, preferred_element_type=jnp.float32)
-        g = ghl[:, :c1] + ghl[:, c1:]                      # hi + lo
+        g = ghl if parts == 1 else ghl[:, :c1] + ghl[:, c1:]   # hi (+ lo)
         h = jnp.maximum(g - csw, 0.0)                      # layer 1 (folded)
         h = jnp.maximum(
             jnp.dot(h, a2, preferred_element_type=jnp.float32) + b2, 0.0)
@@ -73,25 +73,31 @@ def _ball_mlp3_kernel(newxyz_ref, xyzt_ref, uhl_ref, csw_ref,
             jnp.dot(h, a3, preferred_element_type=jnp.float32) + b3, 0.0)
         return jnp.maximum(acc, h)
 
+    # Slots at or beyond a row's in-ball count reproduce slot 0 exactly
+    # (reference fill-with-first, pointnet2.py:84-91), so they cannot change
+    # the running max: loop only to the tile's largest in-ball count.
+    jmax = jnp.clip(jnp.max(nball), 1.0, float(k)).astype(jnp.int32)
     acc = jnp.full((sq, c3), -_BIG, jnp.float32)
-    out_ref[0] = jax.lax.fori_loop(0, k, slot, acc)
+    out_ref[0] = jax.lax.fori_loop(0, jmax, slot, acc)
 
 
-def _gather_rows_kernel(idx_ref, vhl_ref, out_ref, *, k: int, fp: int):
+def _gather_rows_kernel(idx_ref, vhl_ref, out_ref, *, k: int, fp: int,
+                        parts: int):
     bq = idx_ref.shape[1]
     n = vhl_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, n), 1)
-    vhl = vhl_ref[0]                                       # (N, 2*Fp) bf16
+    vhl = vhl_ref[0]                                       # (N, parts*Fp) bf16
     for j in range(k):
         sel = idx_ref[0, :, j:j + 1]                       # (bq, 1)
         oh = (col == sel).astype(jnp.bfloat16)
         ghl = jnp.dot(oh, vhl, preferred_element_type=jnp.float32)
-        out_ref[0, :, j * fp:(j + 1) * fp] = ghl[:, :fp] + ghl[:, fp:]
+        g = ghl if parts == 1 else ghl[:, :fp] + ghl[:, fp:]
+        out_ref[0, :, j * fp:(j + 1) * fp] = g
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_q", "parts", "interpret"))
 def gather_rows(values: jnp.ndarray, idx: jnp.ndarray, block_q: int = 128,
-                interpret: bool = False) -> jnp.ndarray:
+                parts: int = 2, interpret: bool = False) -> jnp.ndarray:
     """Grouped row gather via one-hot matmuls: out[b,s,j] = values[b,idx[b,s,j]].
 
     XLA's row gather runs on the scalar unit (~120 ms for 10M rows at
@@ -116,17 +122,16 @@ def gather_rows(values: jnp.ndarray, idx: jnp.ndarray, block_q: int = 128,
     while bq > 8 and bq * K * fp * 4 > 4 * 1024 * 1024:
         bq //= 2
     assert S % bq == 0, (S, bq)
-    vhi, vlo = _split_hilo(values.astype(jnp.float32))
-    vhl = jnp.concatenate([vhi, vlo], axis=-1)             # (B, N, 2*Fp)
+    vhl = _split_parts(values.astype(jnp.float32), parts)  # (B, N, parts*Fp)
 
-    kernel = functools.partial(_gather_rows_kernel, k=K, fp=fp)
+    kernel = functools.partial(_gather_rows_kernel, k=K, fp=fp, parts=parts)
     out = pl.pallas_call(
         kernel,
         grid=(B, S // bq),
         in_specs=[
             pl.BlockSpec((1, bq, K), lambda b, q: (b, q, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 2 * fp), lambda b, q: (b, 0, 0),
+            pl.BlockSpec((1, N, parts * fp), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, K * fp), lambda b, q: (b, q, 0),
@@ -138,11 +143,12 @@ def gather_rows(values: jnp.ndarray, idx: jnp.ndarray, block_q: int = 128,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "radius", "block_q", "interpret"))
+                   static_argnames=("k", "radius", "block_q", "parts",
+                                    "interpret"))
 def fused_ball_mlp3(new_xyz: jnp.ndarray, xyz: jnp.ndarray, u: jnp.ndarray,
                     csw: jnp.ndarray, a2: jnp.ndarray, b2: jnp.ndarray,
                     a3: jnp.ndarray, b3: jnp.ndarray, *, radius: float,
-                    k: int, block_q: int = 128,
+                    k: int, block_q: int = 128, parts: int = 2,
                     interpret: bool = False) -> jnp.ndarray:
     """Fused SA branch: max over ball-grouped 3-layer MLP outputs.
 
@@ -165,11 +171,10 @@ def fused_ball_mlp3(new_xyz: jnp.ndarray, xyz: jnp.ndarray, u: jnp.ndarray,
     bq = min(block_q, S)
     assert S % bq == 0, (S, bq)
     xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)
-    uhi, ulo = _split_hilo(u.astype(jnp.float32))
-    uhl = jnp.concatenate([uhi, ulo], axis=-1)             # (B, N, 2*C1)
+    uhl = _split_parts(u.astype(jnp.float32), parts)   # (B, N, parts*C1)
 
     kernel = functools.partial(_ball_mlp3_kernel, k=k,
-                               radius2=float(radius) ** 2)
+                               radius2=float(radius) ** 2, parts=parts)
     C1, C2 = a2.shape[0], a2.shape[1]
     out = pl.pallas_call(
         kernel,
@@ -179,7 +184,7 @@ def fused_ball_mlp3(new_xyz: jnp.ndarray, xyz: jnp.ndarray, u: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, N), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 2 * C1), lambda b, q: (b, 0, 0),
+            pl.BlockSpec((1, N, parts * C1), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, C1), lambda b, q: (b, q, 0),
                          memory_space=pltpu.VMEM),

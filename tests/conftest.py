@@ -13,7 +13,15 @@ import sys
 
 faulthandler.dump_traceback_later(900, repeat=True)
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _repo)
+
+# Keep the CPU test cache separate from .jax_cache: TPU runs go through the
+# axon tunnel, whose remote host writes CPU AOT entries compiled for a
+# *different* machine type into the shared dir — loading those locally is
+# pathologically slow (machine-feature mismatch forces deserialise+reject).
+os.environ.setdefault("IQTPU_COMPILE_CACHE",
+                      os.path.join(_repo, ".jax_cache_cpu"))
 
 import jax  # noqa: E402
 

@@ -106,16 +106,21 @@ def test_fused_model_path_matches_xla(name):
     variables = init_model(model, jax.random.PRNGKey(0), num_points=64)
     rng = np.random.RandomState(4)
     x = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
-    ref = model.apply(variables, x, train=False, fused=False)
+    apply_ref = jax.jit(
+        lambda v, x: model.apply(v, x, train=False, fused=False))
+    apply_fused = jax.jit(
+        lambda v, x: model.apply(v, x, train=False, fused=True))
+    ref = apply_ref(variables, x)
     try:
         set_gather_value_parts(2)                    # hi/lo: ~2^-16 values
         with pltpu.force_tpu_interpret_mode():
-            out = model.apply(variables, x, train=False, fused=True)
+            out = apply_fused(variables, x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-3, atol=2e-4)
         set_gather_value_parts(1)                    # default: plain bf16
         with pltpu.force_tpu_interpret_mode():
-            out = model.apply(variables, x, train=False, fused=True)
+            out = jax.jit(lambda v, x: model.apply(
+                v, x, train=False, fused=True))(variables, x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=4e-2, atol=4e-3)
     finally:
@@ -136,27 +141,59 @@ def test_fused_pointconv_matches_xla():
     """Fused kNN + hoisted-layer gather path vs the XLA path."""
     from jax.experimental.pallas import tpu as pltpu
 
+    from interpret_quality_tpu.config import set_gather_value_parts
+
     model = build_model("pointconv", num_classes=10)
     variables = init_model(model, jax.random.PRNGKey(0), num_points=256)
     rng = np.random.RandomState(7)
     x = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32))
-    ref = model.apply(variables, x, train=False, fused=False)
-    with pltpu.force_tpu_interpret_mode():
-        out = model.apply(variables, x, train=False, fused=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-4, atol=1e-5)
+    apply_ref = jax.jit(
+        lambda v, x: model.apply(v, x, train=False, fused=False))
+    apply_fused = jax.jit(
+        lambda v, x: model.apply(v, x, train=False, fused=True))
+    ref = apply_ref(variables, x)
+    try:
+        set_gather_value_parts(2)                    # hi/lo: ~2^-16 values
+        with pltpu.force_tpu_interpret_mode():
+            out = apply_fused(variables, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+        set_gather_value_parts(1)                    # default: plain bf16
+        with pltpu.force_tpu_interpret_mode():
+            out = jax.jit(lambda v, x: model.apply(
+                v, x, train=False, fused=True))(variables, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=4e-2, atol=2e-3)
+    finally:
+        set_gather_value_parts(1)
 
 
 def test_fused_pointnet2_matches_xla():
     """Fused ball-query + grouped-MLP SA path vs the XLA gather path."""
     from jax.experimental.pallas import tpu as pltpu
 
+    from interpret_quality_tpu.config import set_gather_value_parts
+
     model = build_model("pointnet2", num_classes=10)
     variables = init_model(model, jax.random.PRNGKey(0), num_points=256)
     rng = np.random.RandomState(5)
     x = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32))
-    ref = model.apply(variables, x, train=False, fused=False)
-    with pltpu.force_tpu_interpret_mode():
-        out = model.apply(variables, x, train=False, fused=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-4, atol=1e-5)
+    apply_ref = jax.jit(
+        lambda v, x: model.apply(v, x, train=False, fused=False))
+    apply_fused = jax.jit(
+        lambda v, x: model.apply(v, x, train=False, fused=True))
+    ref = apply_ref(variables, x)
+    try:
+        set_gather_value_parts(2)                    # hi/lo: ~2^-16 values
+        with pltpu.force_tpu_interpret_mode():
+            out = apply_fused(variables, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+        set_gather_value_parts(1)                    # default: plain bf16
+        with pltpu.force_tpu_interpret_mode():
+            out = jax.jit(lambda v, x: model.apply(
+                v, x, train=False, fused=True))(variables, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=4e-2, atol=2e-3)
+    finally:
+        set_gather_value_parts(1)
