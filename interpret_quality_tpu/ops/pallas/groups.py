@@ -59,26 +59,42 @@ def _ball_mlp3_kernel(newxyz_ref, xyzt_ref, uhl_ref, csw_ref,
     a3, b3 = a3_ref[:], b3_ref[:]
     c3 = a3.shape[-1]
 
-    def slot(j, acc):
-        fj = j.astype(jnp.float32)
-        # select between bf16 one-hots (bool-valued `where` does not lower)
-        ohb = jnp.where(nball > fj,
-                        (sel_rank == fj + 1.0).astype(jnp.bfloat16), fill_oh)
-        ghl = jnp.dot(ohb, uhl, preferred_element_type=jnp.float32)
+    # Slots are processed in groups of `gsz`: the G stacked one-hots feed ONE
+    # (G*Sq, N) gather matmul and batched (G*Sq, C) MLP matmuls — per-slot
+    # matmuls like (Sq, C1) @ (C1, C2) with C <= 128 waste most of the MXU
+    # tile, so batching slots is a large win at K in {64, 128}.
+    gsz = min(8, k)
+    csw_g = jnp.tile(csw, (gsz, 1))                        # (G*Sq, C1)
+
+    def group(i, acc):
+        j0 = (i * gsz).astype(jnp.float32)
+        # slot index per group lane, clamped to k-1 (duplicates of the last
+        # slot beyond k or of the fill slot beyond nball cannot change the
+        # max — reference fill-with-first, pointnet2.py:84-91)
+        js = jnp.minimum(
+            j0 + jax.lax.broadcasted_iota(
+                jnp.int32, (gsz, 1, 1), 0).astype(jnp.float32),
+            float(k - 1))
+        oh = (sel_rank[None] == js + 1.0)                  # (G, Sq, N) bool
+        ohb = jnp.where(nball[None] > js, oh.astype(jnp.bfloat16),
+                        fill_oh[None])
+        ghl = jnp.dot(ohb.reshape(gsz * sq, n), uhl,
+                      preferred_element_type=jnp.float32)
         g = ghl if parts == 1 else ghl[:, :c1] + ghl[:, c1:]   # hi (+ lo)
-        h = jnp.maximum(g - csw, 0.0)                      # layer 1 (folded)
+        h = jnp.maximum(g - csw_g, 0.0)                    # layer 1 (folded)
         h = jnp.maximum(
             jnp.dot(h, a2, preferred_element_type=jnp.float32) + b2, 0.0)
         h = jnp.maximum(
             jnp.dot(h, a3, preferred_element_type=jnp.float32) + b3, 0.0)
-        return jnp.maximum(acc, h)
+        return jnp.maximum(acc, jnp.max(h.reshape(gsz, sq, c3), axis=0))
 
     # Slots at or beyond a row's in-ball count reproduce slot 0 exactly
-    # (reference fill-with-first, pointnet2.py:84-91), so they cannot change
-    # the running max: loop only to the tile's largest in-ball count.
+    # (fill-with-first), so they cannot change the running max: loop only to
+    # the tile's largest in-ball count.
     jmax = jnp.clip(jnp.max(nball), 1.0, float(k)).astype(jnp.int32)
+    ngroups = (jmax + gsz - 1) // gsz
     acc = jnp.full((sq, c3), -_BIG, jnp.float32)
-    out_ref[0] = jax.lax.fori_loop(0, jmax, slot, acc)
+    out_ref[0] = jax.lax.fori_loop(0, ngroups, group, acc)
 
 
 def _gather_rows_kernel(idx_ref, vhl_ref, out_ref, *, k: int, fp: int,
