@@ -25,7 +25,9 @@ import jax.numpy as jnp
 from ..ops.geometry import (compute_density, farthest_point_sample,
                             index_points, knn_point)
 from ..config import gather_value_parts
-from ..ops.pallas import fps_pallas, gather_rows, knn_pallas
+from ..ops.pallas import (fps_pallas, fused_pointconv_sa,
+                          gather_rows, knn_pallas,
+                          knn_with_density)
 from .common import BN_EPS, BN_MOMENTUM, MLPStack, on_tpu
 
 
@@ -33,10 +35,14 @@ class DensityNet(nn.Module):
     hidden: Sequence[int] = (16, 8)
 
     @nn.compact
-    def __call__(self, scale, train: bool = False):
-        # scale: (B, S, K, 1)
+    def __call__(self, scale=None, train: bool = False, fold: bool = False):
+        # scale: (B, S, K, 1); fold=True returns the eval-mode layers as
+        # BatchNorm-folded affines for the fused Pallas path
         feats = list(self.hidden) + [1]
-        return MLPStack(feats, name="mlp")(scale, train=train)
+        m = MLPStack(feats, name="mlp")
+        if fold:
+            return m(fold=True, c_in=1)
+        return m(scale, train=train)
 
 
 class WeightNet(nn.Module):
@@ -44,10 +50,13 @@ class WeightNet(nn.Module):
     hidden: Sequence[int] = (8, 8)
 
     @nn.compact
-    def __call__(self, xyz, train: bool = False):
+    def __call__(self, xyz=None, train: bool = False, fold: bool = False):
         # xyz: (B, S, K, 3) localized coordinates
         feats = list(self.hidden) + [self.out_channel]
-        return MLPStack(feats, name="mlp")(xyz, train=train)
+        m = MLPStack(feats, name="mlp")
+        if fold:
+            return m(fold=True, c_in=3)
+        return m(xyz, train=train)
 
 
 class PointConvDensitySA(nn.Module):
@@ -88,25 +97,27 @@ class PointConvDensitySA(nn.Module):
             D = 0 if points is None else points.shape[-1]
             fps_idx = fps_pallas(xyz, S, block_b=16)
             new_xyz = index_points(xyz, fps_idx)                  # (B, S, 3)
-            idx = knn_pallas(new_xyz, xyz, K)                     # (B, S, K)
             # hoist MLP layer 1 above the gather (BN folded; input order is
             # [xyz offsets, features] — reference pointconv.py:137)
             folded = mlp(fold=True, c_in=D + 3)
             (A1, b1) = folded[0]
+            (A2, b2) = folded[1]
+            (A3, b3) = folded[2]
             src = (xyz if points is None
                    else jnp.concatenate([xyz, points], -1))
             u = src @ A1 + b1                                     # (B, N, C1)
             csw = new_xyz @ A1[:3]                                # (B, S, C1)
-            # one combined gather: [u | xyz | inv_density]
-            vals = jnp.concatenate(
-                [u, xyz, inv_density[..., None]], axis=-1)
-            g = gather_rows(vals, idx, parts=gather_value_parts())  # (B,S,K,C1+4)
-            C1 = u.shape[-1]
-            h = jnp.maximum(g[..., :C1] - csw[:, :, None, :], 0.0)
-            for (A, b) in folded[1:]:
-                h = jnp.maximum(h @ A + b, 0.0)                   # (B, S, K, C)
-            grouped_xyz = g[..., C1:C1 + 3] - new_xyz[:, :, None, :]
-            grouped_density = g[..., C1 + 3:C1 + 4]               # (B, S, K, 1)
+            dnet = DensityNet(name="densitynet")(fold=True)
+            wnet = WeightNet(16, name="weightnet")(fold=True)
+            idx, den, dmax = knn_with_density(new_xyz, xyz, inv_density, K)
+            out = fused_pointconv_sa(
+                idx, den, dmax, new_xyz, u, xyz, csw, A2, b2, A3, b3,
+                dnet, wnet, k=K, parts=gather_value_parts())      # (B,S,C3*16)
+            out = nn.Dense(self.mlp[-1], name="linear")(out)
+            out = nn.BatchNorm(use_running_average=not train,
+                               momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                               name="bn_linear")(out)
+            return new_xyz, nn.relu(out)
         else:
             S = self.npoint
             fps_idx = farthest_point_sample(xyz, S)

@@ -222,3 +222,216 @@ def fused_ball_mlp3(new_xyz: jnp.ndarray, xyz: jnp.ndarray, u: jnp.ndarray,
       b2.reshape(1, -1).astype(jnp.float32), a3.astype(jnp.float32),
       b3.reshape(1, -1).astype(jnp.float32))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fused PointConv set abstraction (reference models/pointconv.py:324-391)
+# ---------------------------------------------------------------------------
+def _knn_den_kernel(xq_ref, xdbt_ref, invden_ref, oidx_ref, oden_ref,
+                    odmax_ref, *, k: int):
+    """Exact kNN selection that also extracts each neighbour's inverse
+    density and the per-query max (the group normaliser,
+    reference pointconv.py:376-377)."""
+    dist = _dist_tile(xq_ref[0], xdbt_ref[0])
+    q, n = dist.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
+    invden = invden_ref[0]                                 # (1, N)
+    dmax = jnp.full((q, 1), -_BIG, jnp.float32)
+    for j in range(k):
+        rowmin = jnp.min(dist, axis=1, keepdims=True)
+        sel = jnp.min(jnp.where(dist == rowmin, col, n),
+                      axis=1, keepdims=True)               # (Q, 1)
+        onehot = col == sel
+        dist = jnp.where(onehot, _BIG, dist)
+        dj = jnp.max(jnp.where(onehot, invden, -_BIG), axis=1, keepdims=True)
+        dmax = jnp.maximum(dmax, dj)
+        oidx_ref[0, :, j] = sel[:, 0]
+        oden_ref[0, :, j] = dj[:, 0]
+    odmax_ref[0] = dmax
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_q", "interpret"))
+def knn_with_density(query, database, inv_density, k: int,
+                     block_q: int = 128, interpret: bool = False):
+    """kNN indices + gathered inverse densities + per-query density max.
+
+    Args:
+      query: (B, S, 3); database: (B, N, 3); inv_density: (B, N).
+    Returns:
+      idx (B, S, k) int32, den (B, S, k) f32, dmax (B, S, 1) f32.
+    """
+    B, S, C = query.shape
+    N = database.shape[1]
+    bq = min(block_q, S)
+    assert S % bq == 0, (S, bq)
+    db_t = jnp.swapaxes(database.astype(jnp.float32), 1, 2)
+    kernel = functools.partial(_knn_den_kernel, k=k)
+    idx, den, dmax = pl.pallas_call(
+        kernel,
+        grid=(B, S // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, C), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, N), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, k), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, k), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, S, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(query.astype(jnp.float32), db_t,
+      inv_density.astype(jnp.float32)[:, None, :])
+    return idx, den, dmax
+
+
+def _pconv_kernel(idx_ref, ds_ref, nxyz_ref, vhl_ref, csw_ref,
+                  a2_ref, b2_ref, a3_ref, b3_ref,
+                  w1_ref, f1_ref, w2_ref, f2_ref, w3_ref, f3_ref,
+                  out_ref, *, gsz: int, c1: int, parts: int):
+    """Grouped-slot PointConv SA: gather -> folded MLP2/3 -> DensityNet
+    scale -> WeightNet -> per-query contraction over slots, in VMEM.
+
+    The slot-group index is the innermost *grid* dimension; the output block
+    is revisited across groups and accumulated in place (one (Q, C3)
+    accumulator per weight lane — a (Q, C3, 16) layout would put 16 in the
+    lane dimension and waste 7/8 of every vector register).
+    out[q, w, c] = sum_j h3s[j, q, c] * wt[j, q, w].
+    """
+    q = idx_ref.shape[2]
+    n = vhl_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
+    vhl = vhl_ref[0]                                       # (N, parts*fp)
+    csw = csw_ref[0]                                       # (Q, C1)
+    nxyz = nxyz_ref[0]                                     # (Q, 3)
+    a2, b2, a3, b3 = a2_ref[:], b2_ref[:], a3_ref[:], b3_ref[:]
+    w1, f1, w2, f2, w3, f3 = (w1_ref[:], f1_ref[:], w2_ref[:], f2_ref[:],
+                              w3_ref[:], f3_ref[:])
+    c3 = a3.shape[-1]
+    wo = w3.shape[-1]                                      # 16
+    fp = vhl.shape[-1] // parts                            # C1 + padded xyz
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    ohs = [(col == idx_ref[0, 0, :, jj:jj + 1]).astype(jnp.bfloat16)
+           for jj in range(gsz)]
+    oh = jnp.concatenate(ohs, axis=0)                      # (gsz*Q, N)
+    ghl = jnp.dot(oh, vhl, preferred_element_type=jnp.float32)
+    g = ghl if parts == 1 else ghl[:, :fp] + ghl[:, fp:]
+    gu = g[:, :c1]                                         # (gsz*Q, C1)
+    gxyz = g[:, c1:c1 + 3] - jnp.tile(nxyz, (gsz, 1))      # (gsz*Q, 3)
+
+    h = jnp.maximum(gu - jnp.tile(csw, (gsz, 1)), 0.0)     # layer 1 folded
+    h = jnp.maximum(jnp.dot(h, a2, preferred_element_type=jnp.float32)
+                    + b2, 0.0)
+    h = jnp.maximum(jnp.dot(h, a3, preferred_element_type=jnp.float32)
+                    + b3, 0.0)                             # (gsz*Q, C3)
+
+    wt = jnp.maximum(jnp.dot(gxyz, w1,
+                             preferred_element_type=jnp.float32) + f1, 0.0)
+    wt = jnp.maximum(jnp.dot(wt, w2, preferred_element_type=jnp.float32)
+                     + f2, 0.0)
+    wt = jnp.maximum(jnp.dot(wt, w3, preferred_element_type=jnp.float32)
+                     + f3, 0.0)                            # (gsz*Q, 16)
+
+    h = h.reshape(gsz, q, c3)
+    wt = wt.reshape(gsz, q, wo)
+    for gg in range(gsz):
+        hs = h[gg] * ds_ref[0, 0, :, gg:gg + 1]             # (Q, C3)
+        for w in range(wo):
+            out_ref[0, w] += hs * wt[gg, :, w:w + 1]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "block_q", "parts", "interpret"))
+def fused_pointconv_sa(idx, den, dmax, new_xyz, u, xyz, csw,
+                       a2, b2, a3, b3, dnet, wnet, *, k: int,
+                       block_q: int = 128, parts: int = 2,
+                       interpret: bool = False):
+    """Fused PointConv grouped compute (after `knn_with_density`).
+
+    Args:
+      idx/den/dmax: from knn_with_density.
+      new_xyz: (B, S, 3); u: (B, N, C1) hoisted layer-1 pre-activations;
+      xyz: (B, N, 3); csw: (B, S, C1) per-centre layer-1 offset.
+      a2/b2/a3/b3: folded MLP layers 2-3.
+      dnet / wnet: lists of 3 folded (A, b) affines for DensityNet (1->16->
+        8->1) and WeightNet (3->8->8->16).
+    Returns:
+      (B, S, C3*16) f32 — the reference's C-major flattened
+      einsum("bskc,bskw->bscw") (pointconv.py:383-386).
+    """
+    B, S, _ = new_xyz.shape
+    N = xyz.shape[1]
+    C1 = u.shape[-1]
+    C3 = a3.shape[-1]
+    WO = wnet[2][0].shape[-1]
+    bq = min(block_q, S)
+    assert S % bq == 0, (S, bq)
+    vals = jnp.concatenate(
+        [u, xyz, jnp.zeros((B, N, 1), jnp.float32)], axis=-1)  # lane pad
+    vhl = _split_parts(vals.astype(jnp.float32), parts)
+    (d1, e1), (d2, e2), (d3, e3) = dnet
+    (w1, f1), (w2, f2), (w3, f3) = wnet
+    # DensityNet runs outside the kernel: (B, S, K) scalars through three
+    # tiny affines is trivial for XLA, but per-slot degenerate matmuls
+    # inside the kernel dominate its runtime
+    dsc = (den / dmax)[..., None]                          # (B, S, K, 1)
+    dsc = jnp.maximum(dsc * d1[0] + e1, 0.0)
+    dsc = jnp.maximum(dsc @ d2 + e2, 0.0)
+    dsc = jnp.maximum(dsc @ d3 + e3, 0.0)                  # (B, S, K, 1)
+    ds = dsc[..., 0]
+
+    gsz = 8 if k % 8 == 0 else (4 if k % 4 == 0 else 1)
+    kernel = functools.partial(_pconv_kernel, gsz=gsz, c1=C1, parts=parts)
+    fp = C1 + 4
+    row = lambda t: t.reshape(1, -1).astype(jnp.float32)
+    mat = lambda t: t.astype(jnp.float32)
+    full = lambda shape: pl.BlockSpec(shape, lambda b, q, g: tuple(
+        0 for _ in shape), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, S // bq, k // gsz),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, gsz), lambda b, q, g: (b, g, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, gsz), lambda b, q, g: (b, g, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 3), lambda b, q, g: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, parts * fp), lambda b, q, g: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, C1), lambda b, q, g: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            full(a2.shape), full((1, b2.shape[-1])),
+            full(a3.shape), full((1, b3.shape[-1])),
+            full(w1.shape), full((1, f1.shape[-1])),
+            full(w2.shape), full((1, f2.shape[-1])),
+            full(w3.shape), full((1, f3.shape[-1])),
+        ],
+        out_specs=pl.BlockSpec((1, WO, bq, C3), lambda b, q, g: (b, 0, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, WO, S, C3), jnp.float32),
+        interpret=interpret,
+    )(jnp.transpose(idx.reshape(B, S, k // gsz, gsz), (0, 2, 1, 3)),
+      jnp.transpose(ds.reshape(B, S, k // gsz, gsz), (0, 2, 1, 3)),
+      new_xyz.astype(jnp.float32), vhl,
+      csw.astype(jnp.float32),
+      mat(a2), row(b2), mat(a3), row(b3),
+      mat(w1), row(f1), mat(w2), row(f2), mat(w3), row(f3))
+    # (B, WO, S, C3) -> C-major flatten (B, S, C3*WO) matching the
+    # reference's einsum("bskc,bskw->bscw").reshape (pointconv.py:383-386)
+    return jnp.transpose(out, (0, 2, 3, 1)).reshape(B, S, C3 * WO)
