@@ -72,11 +72,11 @@ DATASET_NAMES = ["modelnet10", "shapenet"]
 # ---------------------------------------------------------------------------
 CONFIG = {
     "shapley_batch_size": {
-        "pointnet2": 20,  # fused SA kernels; persistent compile cache
+        "pointnet2": 50,  # fused SA kernels; divides the 100-order chunks
         "pointnet": 100,
         "dgcnn": 50,      # fused Pallas edge-conv: VMEM use is batch-invariant;
         "gcnn": 50,       # 50 divides the 100-order enum chunks and is fastest
-        "pointconv": 20,
+        "pointconv": 50,
     },
     "interaction_batch_size": {
         "pointnet2": 50,
