@@ -25,9 +25,7 @@ import jax.numpy as jnp
 from ..ops.geometry import (compute_density, farthest_point_sample,
                             index_points, knn_point)
 from ..config import gather_value_parts
-from ..ops.pallas import (fps_pallas, fused_pointconv_sa,
-                          gather_rows, knn_pallas,
-                          knn_with_density)
+from ..ops.pallas import fps_pallas, fused_pointconv_sa, knn_with_density
 from .common import BN_EPS, BN_MOMENTUM, MLPStack, on_tpu
 
 
