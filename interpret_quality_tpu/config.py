@@ -79,11 +79,14 @@ CONFIG = {
         "pointconv": 50,
     },
     "interaction_batch_size": {
-        "pointnet2": 50,
-        "pointnet": 400,   # 1600-row forwards; pairs are batched together
-        "dgcnn": 50,
-        "gcnn": 50,
-        "pointconv": 100,
+        # 4*bs-row forwards; pairs are batched together.  Graph models lose
+        # 13-29% throughput below ~800 rows (measured), so contexts per step
+        # are sized to keep the coalition batch near the Shapley-step size.
+        "pointnet2": 200,
+        "pointnet": 400,
+        "dgcnn": 200,
+        "gcnn": 200,
+        "pointconv": 400,
     },
     # poses batched per device step in perturbation enumeration; the
     # effective forward batch is pose_chunk * shapley_batch_size * (R+1)
