@@ -95,7 +95,7 @@ def _extrema_kernel(xq_ref, xdbt_ref, ahl_ref, omax_ref, omin_ref, *, k: int,
 @functools.partial(jax.jit,
                    static_argnames=("k", "block_q", "parts", "interpret"))
 def knn_gather_extrema(xs: jnp.ndarray, a: jnp.ndarray, k: int,
-                       block_q: int = 256, parts: int = 2,
+                       block_q: int = 512, parts: int = 2,
                        interpret: bool = False):
     """Per-point extrema of value rows over the k nearest neighbours.
 
@@ -165,7 +165,7 @@ def _idx_extrema_kernel(idx_ref, ahl_ref, omax_ref, omin_ref, *, k: int,
 
 @functools.partial(jax.jit, static_argnames=("block_q", "parts", "interpret"))
 def gather_extrema(idx: jnp.ndarray, a: jnp.ndarray,
-                   block_q: int = 256, parts: int = 2,
+                   block_q: int = 512, parts: int = 2,
                    interpret: bool = False):
     """Per-point extrema of value rows over precomputed neighbour indices.
 
