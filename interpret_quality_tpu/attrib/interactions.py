@@ -32,7 +32,7 @@ from scipy.special import comb
 from ..config import (BALL_QUERY_COEF, ExperimentConfig,
                       MODELNET_INTER_SELECTED_SAMPLE,
                       SHAPENET_INTER_SELECTED_SAMPLE)
-from ..pipeline import load_frozen_model, make_engine, resolve_dataset
+from ..pipeline import load_frozen_model, resolve_dataset
 from ..utils.io import IOStream, mkdir, save_npy, save_torch_tensor
 from ..utils.rng import cal_rank, set_random
 from .coalitions import masked_interaction_batch

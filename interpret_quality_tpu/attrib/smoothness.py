@@ -258,7 +258,8 @@ def update_region(data_copy: np.ndarray, orig: np.ndarray, mask: np.ndarray,
 
 def test_all_region(engine, data: np.ndarray, lbl: int, orders: np.ndarray,
                     region_id: np.ndarray, mode_folder: str,
-                    cfg: ExperimentConfig, mode: str, objective: str):
+                    cfg: ExperimentConfig, mode: str, objective: str,
+                    max_epochs: int = EPOCH):
     """Enumerate smoothness for all regions; recompute Shapley per epoch
     (reference final_smoothness_center_enum_all.py:281-350)."""
     assert objective in ("inc", "dec")
@@ -296,7 +297,7 @@ def test_all_region(engine, data: np.ndarray, lbl: int, orders: np.ndarray,
     active_j = jnp.ones((R,), bool)
 
     smoothness_list, data_list, sv_list, logits_list = [], [], [], []
-    for epoch in range(EPOCH):
+    for epoch in range(max_epochs):
         io.cprint("\n************ epoch %d ***********" % epoch)
         step = ENUM_STEP if objective == "inc" else -ENUM_STEP
         targets = jnp.where(active_j, smooth_j + step, smooth_j)
@@ -330,9 +331,7 @@ def run_smoothness(cfg: ExperimentConfig, modes=SMOOTH_MODES,
                    sample_indices: Optional[list] = None,
                    max_epochs: Optional[int] = None):
     """Full smoothness suite: {linearity, planarity, scattering} x {inc, dec}."""
-    global EPOCH
-    if max_epochs is not None:
-        EPOCH = max_epochs
+    epochs = EPOCH if max_epochs is None else max_epochs
     set_random(cfg.seed)
     dataset, names = resolve_dataset(cfg, synthetic)
     _, _, forward = load_frozen_model(cfg, allow_random_init)
@@ -349,4 +348,5 @@ def run_smoothness(cfg: ExperimentConfig, modes=SMOOTH_MODES,
             mkdir(mode_folder)
             for objective in ("inc", "dec"):
                 test_all_region(engine, data, lbl, orders, region_id,
-                                mode_folder, cfg, mode, objective)
+                                mode_folder, cfg, mode, objective,
+                                max_epochs=epochs)

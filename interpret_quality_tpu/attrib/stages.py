@@ -10,7 +10,6 @@ Reference call stacks replaced here:
 from __future__ import annotations
 
 import os
-import time
 from typing import Optional
 
 import jax
@@ -21,6 +20,7 @@ from ..config import ExperimentConfig
 from ..ops.geometry import farthest_point_sample
 from ..pipeline import load_frozen_model, make_engine, resolve_dataset
 from ..utils.io import IOStream, mkdir, save_npy, save_torch_tensor
+from ..utils.profiling import StageTimer, device_trace
 from ..utils.rng import set_random
 from .perturbations import MODES
 from .shapley import generate_all_orders, norm_factor, region_id_from_fps
@@ -51,10 +51,14 @@ def run_shapley_init(cfg: ExperimentConfig, synthetic: bool = False,
                      allow_random_init: bool = False,
                      coalition_sharding=None,
                      sample_indices: Optional[list] = None,
-                     resume: bool = False):
+                     resume: bool = False,
+                     trace_dir: Optional[str] = None):
     """Per eval cloud: region ids, norm factor, saved permutations, the
     1000-sample Shapley estimate with convergence snapshots, and the raw
-    per-order estimates (region_sv_all.npy)."""
+    per-order estimates (region_sv_all.npy).
+
+    ``trace_dir`` wraps the device work in a ``jax.profiler`` trace for
+    xprof inspection."""
     set_random(cfg.seed)
     dataset, names = resolve_dataset(cfg, synthetic)
     _, _, forward = load_frozen_model(cfg, allow_random_init)
@@ -84,9 +88,11 @@ def run_shapley_init(cfg: ExperimentConfig, synthetic: bool = False,
         all_orders = generate_all_orders(cfg.num_samples_save, cfg.num_regions)
         save_npy(result_path + "all_orders.npy", all_orders)
 
-        t0 = time.time()
-        _, per_order = engine.shapley_for_pose(
-            data, lbl, region_id, all_orders, return_per_order=True)
+        with device_trace(trace_dir), StageTimer(
+                f"shapley_init:{names[i]}",
+                items=cfg.num_samples_save * (cfg.num_regions + 1)):
+            _, per_order = engine.shapley_for_pose(
+                data, lbl, region_id, all_orders, return_per_order=True)
         # per_order: (num_samples_save, R) single-order estimates
         save_npy(result_path + "region_sv_all.npy", per_order)
 
@@ -97,8 +103,6 @@ def run_shapley_init(cfg: ExperimentConfig, synthetic: bool = False,
         for count in counts:
             _save_snapshot(cumsum[count - 1], i, count, result_path,
                            region_id, cfg)
-        print(f"[shapley_init] {names[i]}: {cfg.num_samples_save} orders in "
-              f"{time.time() - t0:.2f}s")
 
 
 def _save_snapshot(region_sv_sum, pc_idx, count, result_path, region_id, cfg):
@@ -120,7 +124,8 @@ def run_enum(cfg: ExperimentConfig, mode_name: str, synthetic: bool = False,
              allow_random_init: bool = False, pose_chunk: Optional[int] = None,
              coalition_sharding=None, save_logits: bool = True,
              sample_indices: Optional[list] = None, resume: bool = False,
-             max_poses: Optional[int] = None):
+             max_poses: Optional[int] = None,
+             trace_dir: Optional[str] = None):
     """Recompute Shapley values at every pose of a perturbation grid."""
     set_random(cfg.seed)
     if pose_chunk is None:
@@ -154,7 +159,6 @@ def run_enum(cfg: ExperimentConfig, mode_name: str, synthetic: bool = False,
         load_order_list = np.load(base_folder + "all_orders.npy")
         orders = load_order_list[:cfg.num_samples]
 
-        t0 = time.time()
         orig_sv = engine.shapley_for_pose(data, lbl, region_id, orders)
         io.cprint("origin region shapley: %s" % str(orig_sv))
         save_npy(mode_folder + "orig_shapley_value.npy", orig_sv)
@@ -162,32 +166,37 @@ def run_enum(cfg: ExperimentConfig, mode_name: str, synthetic: bool = False,
         P = all_params.shape[0]
         sv_list, logits_list = [], []
         data_j = jnp.asarray(data)
-        # All device arrays are collected and fetched once per cloud: every
-        # blocking device->host fetch costs a full tunnel round trip
-        # (~58 ms measured), so per-chunk fetches dominated the stage.
-        for start in range(0, P, pose_chunk):
-            chunk = all_params[start:start + pose_chunk]
-            valid = chunk.shape[0]
-            if valid < pose_chunk:   # pad ragged tail to the compiled shape
-                pad = np.repeat(chunk[-1:], pose_chunk - valid, axis=0)
-                chunk = np.concatenate([chunk, pad], axis=0)
-            params_chunk = jnp.asarray(chunk)
-            data_disturb = disturb_batch(data_j, params_chunk)   # (Pc, N, 3)
-            if save_logits:
-                sv, logits = engine.shapley_for_poses(
-                    data_disturb, lbl, region_id, orders,
-                    return_logits=True, return_device=True)
-                logits_list.append(logits[:valid])
-            else:
-                sv = engine.shapley_for_poses(
-                    data_disturb, lbl, region_id, orders,
-                    return_logits=False, return_device=True)
-            sv_list.append(sv[:valid])
+        timer = StageTimer(f"enum:{mode_name}:{names[pc_index]}",
+                           items=P * cfg.num_samples * (cfg.num_regions + 1),
+                           printer=io.cprint)
+        with device_trace(trace_dir), timer:
+            # All device arrays are collected and fetched once per cloud:
+            # every blocking device->host fetch costs a full tunnel round
+            # trip (~58 ms measured), so per-chunk fetches dominated the
+            # stage.
+            for start in range(0, P, pose_chunk):
+                chunk = all_params[start:start + pose_chunk]
+                valid = chunk.shape[0]
+                if valid < pose_chunk:  # pad ragged tail to compiled shape
+                    pad = np.repeat(chunk[-1:], pose_chunk - valid, axis=0)
+                    chunk = np.concatenate([chunk, pad], axis=0)
+                params_chunk = jnp.asarray(chunk)
+                data_disturb = disturb_batch(data_j, params_chunk)  # (Pc,N,3)
+                if save_logits:
+                    sv, logits = engine.shapley_for_poses(
+                        data_disturb, lbl, region_id, orders,
+                        return_logits=True, return_device=True)
+                    logits_list.append(logits[:valid])
+                else:
+                    sv = engine.shapley_for_poses(
+                        data_disturb, lbl, region_id, orders,
+                        return_logits=False, return_device=True)
+                sv_list.append(sv[:valid])
 
-        for c in sv_list + logits_list:          # overlap the transfers
-            c.copy_to_host_async()
-        sv_list = [np.asarray(c, np.float64) for c in sv_list]
-        logits_list = [np.asarray(c) for c in logits_list]
+            for c in sv_list + logits_list:      # overlap the transfers
+                c.copy_to_host_async()
+            sv_list = [np.asarray(c, np.float64) for c in sv_list]
+            logits_list = [np.asarray(c) for c in logits_list]
         for start_i, sv in enumerate(sv_list):
             for k in range(sv.shape[0]):
                 pose = start_i * pose_chunk + k
@@ -201,5 +210,5 @@ def run_enum(cfg: ExperimentConfig, mode_name: str, synthetic: bool = False,
             all_logits = np.concatenate(logits_list, axis=0)     # (P, S*(R+1), C)
             save_torch_tensor(mode_folder + "all_logits.pt", all_logits)
         mode.save_info(all_params, mode_folder)
-        io.cprint("time: %f" % (time.time() - t0))
+        io.cprint("time: %f" % timer.seconds)
         io.close()

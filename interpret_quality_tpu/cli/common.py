@@ -44,7 +44,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    choices=["bf16", "hilo"],
                    help="value precision of the fused Pallas neighbour "
                         "gathers (graph models): 'bf16' (~2^-9 relative, "
-                        "~half the gather cost) or 'hilo' (~2^-16)")
+                        "~half the gather cost) or 'hilo' (~2^-16; pass "
+                        "this when comparing artifacts against the "
+                        "reference's fp32 numerics, with "
+                        "--matmul_precision=highest)")
+    p.add_argument("--trace_dir", type=str, default=None,
+                   help="write a jax.profiler (xprof) trace of the device "
+                        "work to this directory")
     return p
 
 
@@ -53,9 +59,11 @@ def config_from_args(args) -> ExperimentConfig:
         import jax
         jax.config.update("jax_default_matmul_precision",
                           args.matmul_precision)
-    if getattr(args, "gather_precision", "bf16") == "hilo":
-        from ..config import set_gather_value_parts
-        set_gather_value_parts(2)
+    # set unconditionally: the value is process-global and must not leak
+    # from a previous config_from_args call in the same process
+    from ..config import set_gather_value_parts
+    set_gather_value_parts(
+        2 if getattr(args, "gather_precision", "bf16") == "hilo" else 1)
     return ExperimentConfig(
         model=args.model, dataset=args.dataset, seed=args.seed,
         softmax_type=args.softmax_type, model_path=args.model_path,

@@ -11,8 +11,9 @@ def main(default_mode: str = "trans"):
     p = base_parser("Perturbation enumeration")
     p.add_argument("--mode", type=str, default=default_mode,
                    choices=["trans", "rotate", "scale"])
-    p.add_argument("--pose_chunk", type=int, default=1,
-                   help="poses batched per device step")
+    p.add_argument("--pose_chunk", type=int, default=None,
+                   help="poses batched per device step (default: the tuned "
+                        "per-model enum_pose_chunk from config.py)")
     p.add_argument("--no_logits", action="store_true",
                    help="skip saving all_logits.pt")
     args = p.parse_args()
@@ -24,7 +25,7 @@ def main(default_mode: str = "trans"):
              coalition_sharding=sharding_from_args(args),
              save_logits=not args.no_logits,
              sample_indices=sample_indices_from_args(args),
-             resume=args.resume)
+             resume=args.resume, trace_dir=args.trace_dir)
 
 
 if __name__ == "__main__":

@@ -15,7 +15,7 @@ def main():
                      allow_random_init=args.allow_random_init,
                      coalition_sharding=sharding_from_args(args),
                      sample_indices=sample_indices_from_args(args),
-             resume=args.resume)
+                     resume=args.resume, trace_dir=args.trace_dir)
 
 
 if __name__ == "__main__":

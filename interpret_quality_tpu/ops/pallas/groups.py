@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...config import gather_value_parts
 from .neighbors import _dist_tile, _split_parts
 
 _BIG = 1e30
@@ -111,14 +112,15 @@ def _gather_rows_kernel(idx_ref, vhl_ref, out_ref, *, k: int, fp: int,
         out_ref[0, :, j * fp:(j + 1) * fp] = g
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "parts", "interpret"))
 def gather_rows(values: jnp.ndarray, idx: jnp.ndarray, block_q: int = 128,
-                parts: int = 2, interpret: bool = False) -> jnp.ndarray:
+                parts: int = None, interpret: bool = False) -> jnp.ndarray:
     """Grouped row gather via one-hot matmuls: out[b,s,j] = values[b,idx[b,s,j]].
 
     XLA's row gather runs on the scalar unit (~120 ms for 10M rows at
     coalition batch); this kernel rides the MXU instead, with the values as
-    a bf16 hi/lo pair (~2^-16 exact).  The feature axis is padded to the
+    bf16 planes — parts=2 a hi/lo pair (~2^-16 exact), parts=1 plain bf16
+    (~2^-9); None (default) follows `config.gather_value_parts()`, the
+    `--gather_precision` CLI knob.  The feature axis is padded to the
     128-lane boundary so every VMEM write is aligned.
 
     Args:
@@ -126,6 +128,14 @@ def gather_rows(values: jnp.ndarray, idx: jnp.ndarray, block_q: int = 128,
     Returns:
       (B, S, K, F) float32.
     """
+    if parts is None:
+        parts = gather_value_parts()
+    return _gather_rows(values, idx, block_q=block_q, parts=parts,
+                        interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "parts", "interpret"))
+def _gather_rows(values, idx, block_q, parts, interpret):
     B, N, F = values.shape
     S, K = idx.shape[1], idx.shape[2]
     fp = -(-F // 128) * 128
@@ -158,13 +168,10 @@ def gather_rows(values: jnp.ndarray, idx: jnp.ndarray, block_q: int = 128,
     return out.reshape(B, S, K, fp)[..., :F]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "radius", "block_q", "parts",
-                                    "interpret"))
 def fused_ball_mlp3(new_xyz: jnp.ndarray, xyz: jnp.ndarray, u: jnp.ndarray,
                     csw: jnp.ndarray, a2: jnp.ndarray, b2: jnp.ndarray,
                     a3: jnp.ndarray, b3: jnp.ndarray, *, radius: float,
-                    k: int, block_q: int = 128, parts: int = 2,
+                    k: int, block_q: int = 128, parts: int = None,
                     interpret: bool = False) -> jnp.ndarray:
     """Fused SA branch: max over ball-grouped 3-layer MLP outputs.
 
@@ -177,10 +184,24 @@ def fused_ball_mlp3(new_xyz: jnp.ndarray, xyz: jnp.ndarray, u: jnp.ndarray,
       a2/b2: (C1, C2), (C2) folded layer-2 weight/bias.
       a3/b3: (C2, C3), (C3) folded layer-3 weight/bias.
       radius, k: ball-query radius and slot count.
+      parts: value-plane precision; None follows
+          `config.gather_value_parts()` (see `gather_rows`).
     Returns:
       (B, S, C3) float32 = max over the K slots of
       relu(relu(relu(u_j - csw_s) @ a2 + b2) @ a3 + b3).
     """
+    if parts is None:
+        parts = gather_value_parts()
+    return _fused_ball_mlp3(new_xyz, xyz, u, csw, a2, b2, a3, b3,
+                            radius=radius, k=k, block_q=block_q,
+                            parts=parts, interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "radius", "block_q", "parts",
+                                    "interpret"))
+def _fused_ball_mlp3(new_xyz, xyz, u, csw, a2, b2, a3, b3, *, radius, k,
+                     block_q, parts, interpret):
     B, S, _ = new_xyz.shape
     N = xyz.shape[1]
     C3 = a3.shape[-1]
@@ -312,7 +333,7 @@ def _pconv_kernel(idx_ref, ds_ref, nxyz_ref, vhl_ref, csw_ref,
     q = idx_ref.shape[2]
     n = vhl_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
-    vhl = vhl_ref[0]                                       # (N, parts*fp)
+    vhl = vhl_ref[0]                                       # (N, parts*C1 + 8)
     csw = csw_ref[0]                                       # (Q, C1)
     nxyz = nxyz_ref[0]                                     # (Q, 3)
     a2, b2, a3, b3 = a2_ref[:], b2_ref[:], a3_ref[:], b3_ref[:]
@@ -320,7 +341,6 @@ def _pconv_kernel(idx_ref, ds_ref, nxyz_ref, vhl_ref, csw_ref,
                               w3_ref[:], f3_ref[:])
     c3 = a3.shape[-1]
     wo = w3.shape[-1]                                      # 16
-    fp = vhl.shape[-1] // parts                            # C1 + padded xyz
 
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -330,9 +350,16 @@ def _pconv_kernel(idx_ref, ds_ref, nxyz_ref, vhl_ref, csw_ref,
            for jj in range(gsz)]
     oh = jnp.concatenate(ohs, axis=0)                      # (gsz*Q, N)
     ghl = jnp.dot(oh, vhl, preferred_element_type=jnp.float32)
-    g = ghl if parts == 1 else ghl[:, :fp] + ghl[:, fp:]
-    gu = g[:, :c1]                                         # (gsz*Q, C1)
-    gxyz = g[:, c1:c1 + 3] - jnp.tile(nxyz, (gsz, 1))      # (gsz*Q, 3)
+    gu = (ghl[:, :c1] if parts == 1
+          else ghl[:, :c1] + ghl[:, c1:2 * c1])            # (gsz*Q, C1)
+    # xyz columns ride a hi/lo pair REGARDLESS of the feature `parts` knob:
+    # the local offset gxyz is a small difference of O(1) coordinates, so a
+    # single-bf16 gather's 2^-9 rounding is catastrophically cancelled into
+    # percent-level error on the WeightNet input (advisor r1).  The 8 extra
+    # lanes cost ~6% of the gather matmul at C1=64.
+    off = parts * c1
+    gx = ghl[:, off:off + 3] + ghl[:, off + 4:off + 7]     # hi + lo
+    gxyz = gx - jnp.tile(nxyz, (gsz, 1))                   # (gsz*Q, 3)
 
     h = jnp.maximum(gu - jnp.tile(csw, (gsz, 1)), 0.0)     # layer 1 folded
     h = jnp.maximum(jnp.dot(h, a2, preferred_element_type=jnp.float32)
@@ -357,23 +384,9 @@ def _pconv_kernel(idx_ref, ds_ref, nxyz_ref, vhl_ref, csw_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "block_q", "parts", "interpret"))
-def fused_pointconv_sa(idx, den, dmax, new_xyz, u, xyz, csw,
-                       a2, b2, a3, b3, dnet, wnet, *, k: int,
-                       block_q: int = 128, parts: int = 2,
-                       interpret: bool = False):
-    """Fused PointConv grouped compute (after `knn_with_density`).
-
-    Args:
-      idx/den/dmax: from knn_with_density.
-      new_xyz: (B, S, 3); u: (B, N, C1) hoisted layer-1 pre-activations;
-      xyz: (B, N, 3); csw: (B, S, C1) per-centre layer-1 offset.
-      a2/b2/a3/b3: folded MLP layers 2-3.
-      dnet / wnet: lists of 3 folded (A, b) affines for DensityNet (1->16->
-        8->1) and WeightNet (3->8->8->16).
-    Returns:
-      (B, S, C3*16) f32 — the reference's C-major flattened
-      einsum("bskc,bskw->bscw") (pointconv.py:383-386).
-    """
+def _fused_pointconv_sa(idx, den, dmax, new_xyz, u, xyz, csw,
+                        a2, b2, a3, b3, dnet, wnet, *, k: int,
+                        block_q: int, parts: int, interpret: bool):
     B, S, _ = new_xyz.shape
     N = xyz.shape[1]
     C1 = u.shape[-1]
@@ -381,9 +394,13 @@ def fused_pointconv_sa(idx, den, dmax, new_xyz, u, xyz, csw,
     WO = wnet[2][0].shape[-1]
     bq = min(block_q, S)
     assert S % bq == 0, (S, bq)
-    vals = jnp.concatenate(
-        [u, xyz, jnp.zeros((B, N, 1), jnp.float32)], axis=-1)  # lane pad
-    vhl = _split_parts(vals.astype(jnp.float32), parts)
+    # Feature columns honour the `parts` precision knob; xyz columns are
+    # always hi/lo (4 hi + 4 lo lanes incl. padding) — see _pconv_kernel.
+    xyz4 = jnp.concatenate(
+        [xyz, jnp.zeros((B, N, 1), jnp.float32)], axis=-1)     # lane pad
+    vhl = jnp.concatenate(
+        [_split_parts(u.astype(jnp.float32), parts),
+         _split_parts(xyz4.astype(jnp.float32), 2)], axis=-1)
     (d1, e1), (d2, e2), (d3, e3) = dnet
     (w1, f1), (w2, f2), (w3, f3) = wnet
     # DensityNet runs outside the kernel: (B, S, K) scalars through three
@@ -397,7 +414,7 @@ def fused_pointconv_sa(idx, den, dmax, new_xyz, u, xyz, csw,
 
     gsz = 8 if k % 8 == 0 else (4 if k % 4 == 0 else 1)
     kernel = functools.partial(_pconv_kernel, gsz=gsz, c1=C1, parts=parts)
-    fp = C1 + 4
+    width = parts * C1 + 8
     row = lambda t: t.reshape(1, -1).astype(jnp.float32)
     mat = lambda t: t.astype(jnp.float32)
     full = lambda shape: pl.BlockSpec(shape, lambda b, q, g: tuple(
@@ -412,7 +429,7 @@ def fused_pointconv_sa(idx, den, dmax, new_xyz, u, xyz, csw,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, 3), lambda b, q, g: (b, q, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, parts * fp), lambda b, q, g: (b, 0, 0),
+            pl.BlockSpec((1, N, width), lambda b, q, g: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, C1), lambda b, q, g: (b, q, 0),
                          memory_space=pltpu.VMEM),
@@ -435,3 +452,30 @@ def fused_pointconv_sa(idx, den, dmax, new_xyz, u, xyz, csw,
     # (B, WO, S, C3) -> C-major flatten (B, S, C3*WO) matching the
     # reference's einsum("bskc,bskw->bscw").reshape (pointconv.py:383-386)
     return jnp.transpose(out, (0, 2, 3, 1)).reshape(B, S, C3 * WO)
+
+
+def fused_pointconv_sa(idx, den, dmax, new_xyz, u, xyz, csw,
+                       a2, b2, a3, b3, dnet, wnet, *, k: int,
+                       block_q: int = 128, parts: int = None,
+                       interpret: bool = False):
+    """Fused PointConv grouped compute (after `knn_with_density`).
+
+    Args:
+      idx/den/dmax: from knn_with_density.
+      new_xyz: (B, S, 3); u: (B, N, C1) hoisted layer-1 pre-activations;
+      xyz: (B, N, 3); csw: (B, S, C1) per-centre layer-1 offset.
+      a2/b2/a3/b3: folded MLP layers 2-3.
+      dnet / wnet: lists of 3 folded (A, b) affines for DensityNet (1->16->
+        8->1) and WeightNet (3->8->8->16).
+      parts: feature-plane precision; None follows
+          `config.gather_value_parts()`.  xyz planes are always hi/lo.
+    Returns:
+      (B, S, C3*16) f32 — the reference's C-major flattened
+      einsum("bskc,bskw->bscw") (pointconv.py:383-386).
+    """
+    if parts is None:
+        parts = gather_value_parts()
+    return _fused_pointconv_sa(idx, den, dmax, new_xyz, u, xyz, csw,
+                               a2, b2, a3, b3, dnet, wnet, k=k,
+                               block_q=block_q, parts=parts,
+                               interpret=interpret)

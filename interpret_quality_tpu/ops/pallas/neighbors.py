@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...config import gather_value_parts
+
 _BIG = 1e30   # python float: jnp scalars would be captured consts in kernels
 
 
@@ -92,10 +94,8 @@ def _extrema_kernel(xq_ref, xdbt_ref, ahl_ref, omax_ref, omin_ref, *, k: int,
     omin_ref[0] = amin
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "block_q", "parts", "interpret"))
 def knn_gather_extrema(xs: jnp.ndarray, a: jnp.ndarray, k: int,
-                       block_q: int = 512, parts: int = 2,
+                       block_q: int = 512, parts: int = None,
                        interpret: bool = False):
     """Per-point extrema of value rows over the k nearest neighbours.
 
@@ -106,10 +106,21 @@ def knn_gather_extrema(xs: jnp.ndarray, a: jnp.ndarray, k: int,
       k:  neighbourhood size.
       parts: bf16 planes carrying the values — 2 (hi/lo, ~2^-16 relative
           exact) or 1 (plain bf16, ~2^-9, halves the gather matmuls).
+          None (default) follows `config.gather_value_parts()`, the
+          `--gather_precision` CLI knob.
     Returns:
       (amax, amin): (B, N, F) float32 each;
       amax[b, i] = max over j in kNN(i) of a[b, j] (elementwise), etc.
     """
+    if parts is None:
+        parts = gather_value_parts()
+    return _knn_gather_extrema(xs, a, k, block_q=block_q, parts=parts,
+                               interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "block_q", "parts", "interpret"))
+def _knn_gather_extrema(xs, a, k, block_q, parts, interpret):
     B, N, C = xs.shape
     F = a.shape[-1]
     bq = min(block_q, N)
@@ -163,9 +174,8 @@ def _idx_extrema_kernel(idx_ref, ahl_ref, omax_ref, omin_ref, *, k: int,
     omin_ref[0] = amin
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "parts", "interpret"))
 def gather_extrema(idx: jnp.ndarray, a: jnp.ndarray,
-                   block_q: int = 512, parts: int = 2,
+                   block_q: int = 512, parts: int = None,
                    interpret: bool = False):
     """Per-point extrema of value rows over precomputed neighbour indices.
 
@@ -176,9 +186,19 @@ def gather_extrema(idx: jnp.ndarray, a: jnp.ndarray,
     Args:
       idx: (B, N, k) int32 neighbour indices.
       a:   (B, N, F) float32 value rows.
+      parts: value-plane precision; None follows
+          `config.gather_value_parts()` (see `knn_gather_extrema`).
     Returns:
       (amax, amin): (B, N, F) float32.
     """
+    if parts is None:
+        parts = gather_value_parts()
+    return _gather_extrema(idx, a, block_q=block_q, parts=parts,
+                           interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "parts", "interpret"))
+def _gather_extrema(idx, a, block_q, parts, interpret):
     B, N, k = idx.shape
     F = a.shape[-1]
     bq = min(block_q, N)

@@ -33,12 +33,14 @@ def load_frozen_model(cfg: ExperimentConfig, allow_random_init: bool = False):
     if os.path.exists(path):
         variables = load_checkpoint(cfg.model, path, template)
     elif allow_random_init:
-        # Nudge every bias positive: with zero-bias random init, narrow ReLU
-        # chains (PointConv's 1-channel DensityNet) die with ~50% probability
-        # per layer and zero out all logits, making smoke runs degenerate.
+        # Nudge every bias positive (incl. BatchNorm 'bias' params — the
+        # shift survives normalisation): with zero-bias random init, narrow
+        # ReLU chains (PointConv's 1-channel DensityNet) die with ~50%
+        # probability per layer and zero out all logits, making smoke runs
+        # degenerate.
         import flax
         flat = flax.traverse_util.flatten_dict(template["params"])
-        flat = {k: (v + 0.1 if k[-1] in ("bias", "bn_bias") else v)
+        flat = {k: (v + 0.1 if k[-1] == "bias" else v)
                 for k, v in flat.items()}
         variables = dict(template)
         variables["params"] = flax.traverse_util.unflatten_dict(flat)

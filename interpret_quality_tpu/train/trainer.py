@@ -13,6 +13,8 @@ sharded batch axis over a 1-D mesh: XLA inserts the gradient psum over ICI.
 """
 from __future__ import annotations
 
+import queue
+import threading
 import time
 from typing import Any, Callable, Optional
 
@@ -29,6 +31,43 @@ from .losses import cal_loss
 
 EPOCHS_BY_MODEL = {"pointnet": 200, "pointnet2": 200, "pointconv": 400,
                    "dgcnn": 250, "gcnn": 250, "gcnn_adv": 400}
+
+
+def balanced_accuracy(y_true, y_pred) -> float:
+    """Mean per-class recall — sklearn ``balanced_accuracy_score`` semantics
+    (reference main_cls_seed.py:155-158) without the sklearn dependency."""
+    y_true = np.asarray(y_true)
+    y_pred = np.asarray(y_pred)
+    recalls = [float((y_pred[y_true == c] == c).mean())
+               for c in np.unique(y_true)]
+    return float(np.mean(recalls))
+
+
+def prefetch(iterator, depth: int = 2):
+    """Host-side prefetch: a producer thread keeps ``depth`` batches ahead
+    of the device step (the reference feeds the GPU with
+    ``DataLoader(num_workers=8)``, main_cls_seed.py:41-48; our augmentations
+    are cheap numpy, so one producer thread suffices to overlap host IO with
+    device compute)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _done = object()
+
+    def produce():
+        try:
+            for item in iterator:
+                q.put((None, item))
+            q.put((_done, None))
+        except BaseException as e:           # re-raised on the consumer side
+            q.put((e, None))
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        err, item = q.get()
+        if err is _done:
+            return
+        if err is not None:
+            raise err
+        yield item
 
 
 @flax.struct.dataclass
@@ -132,29 +171,40 @@ def fit(model, variables, model_name: str, train_ds, test_ds, *,
     best_test_acc = best_acc_gate
     for epoch in range(epochs):
         t0 = time.time()
-        losses, hits, count = [], 0, 0
-        for data, labels, valid in train_ds.batches(batch_size):
+        losses, count = [], 0
+        tr_true, tr_pred = [], []
+        for data, labels, valid in prefetch(train_ds.batches(batch_size)):
             rng, sub = jax.random.split(rng)
             state, loss, preds = train_step(state, jnp.asarray(data),
                                             jnp.asarray(labels), sub)
             losses.append(float(loss) * valid)
-            hits += int((np.asarray(preds)[:valid] == labels[:valid]).sum())
+            tr_true.append(labels[:valid])
+            tr_pred.append(np.asarray(preds)[:valid])
             count += valid
-        io.cprint("Train %d, loss: %.6f, train acc: %.6f (%.1fs)"
-                  % (epoch, sum(losses) / count, hits / count,
-                     time.time() - t0))
+        tr_true = np.concatenate(tr_true)
+        tr_pred = np.concatenate(tr_pred)
+        io.cprint("Train %d, loss: %.6f, train acc: %.6f, train avg acc: "
+                  "%.6f (%.1fs)"
+                  % (epoch, sum(losses) / count,
+                     float((tr_true == tr_pred).mean()),
+                     balanced_accuracy(tr_true, tr_pred), time.time() - t0))
 
-        tl, th, tc = [], 0, 0
+        tl, tc = [], 0
+        te_true, te_pred = [], []
         for data, labels, valid in test_ds.batches(test_batch_size,
                                                    shuffle=False):
             loss, preds = eval_step(state.variables, jnp.asarray(data),
                                     jnp.asarray(labels))
             tl.append(float(loss) * valid)
-            th += int((np.asarray(preds)[:valid] == labels[:valid]).sum())
+            te_true.append(labels[:valid])
+            te_pred.append(np.asarray(preds)[:valid])
             tc += valid
-        test_acc = th / tc
-        io.cprint("Test %d, loss: %.6f, test acc: %.6f"
-                  % (epoch, sum(tl) / tc, test_acc))
+        te_true = np.concatenate(te_true)
+        te_pred = np.concatenate(te_pred)
+        test_acc = float((te_true == te_pred).mean())
+        io.cprint("Test %d, loss: %.6f, test acc: %.6f, test avg acc: %.6f"
+                  % (epoch, sum(tl) / tc, test_acc,
+                     balanced_accuracy(te_true, te_pred)))
 
         if epoch % 10 == 9:
             save_variables(f"{exp_dir}/models/model_{epoch}.msgpack",

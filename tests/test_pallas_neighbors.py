@@ -56,7 +56,7 @@ def test_knn_pallas_separate_query():
 def test_knn_gather_extrema_matches_oracle(data):
     xs, a = data
     g = index_points(a, knn(xs, K))                  # (B, N, K, F)
-    amax, amin = knn_gather_extrema(xs, a, K, interpret=True)
+    amax, amin = knn_gather_extrema(xs, a, K, parts=2, interpret=True)
     np.testing.assert_allclose(np.asarray(amax), np.asarray(g.max(axis=2)),
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(amin), np.asarray(g.min(axis=2)),
@@ -68,7 +68,7 @@ def test_gather_extrema_matches_oracle(data):
     rng = np.random.RandomState(3)
     idx = jnp.asarray(rng.randint(0, N, (B, N, K)).astype(np.int32))
     g = index_points(a, idx)
-    amax, amin = gather_extrema(idx, a, interpret=True)
+    amax, amin = gather_extrema(idx, a, parts=2, interpret=True)
     np.testing.assert_allclose(np.asarray(amax), np.asarray(g.max(axis=2)),
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(amin), np.asarray(g.min(axis=2)),
@@ -133,7 +133,7 @@ def test_gather_rows_matches_oracle(data):
     rng = np.random.RandomState(6)
     idx = jnp.asarray(rng.randint(0, N, (B, 24, 5)).astype(np.int32))
     ref = index_points(a, idx)                       # (B, 24, 5, F)
-    out = gather_rows(a, idx, interpret=True)
+    out = gather_rows(a, idx, parts=2, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
@@ -159,11 +159,14 @@ def test_fused_pointconv_matches_xla():
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-5)
         set_gather_value_parts(1)                    # default: plain bf16
+        # xyz rides hi/lo planes regardless of `parts`, so the WeightNet
+        # offsets stay exact; only the bf16 feature rounding remains
+        # (measured max rel 1.6e-3 on bias-nudged random init)
         with pltpu.force_tpu_interpret_mode():
             out = jax.jit(lambda v, x: model.apply(
                 v, x, train=False, fused=True))(variables, x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=4e-2, atol=2e-3)
+                                   rtol=5e-3, atol=5e-3)
     finally:
         set_gather_value_parts(1)
 
