@@ -21,6 +21,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--checkpoints_root", type=str, default="./checkpoints")
     p.add_argument("--shapley_batch_size", type=int, default=None)
     p.add_argument("--interaction_batch_size", type=int, default=None)
+    p.add_argument("--num_points", type=int, default=None,
+                   help="points per cloud (default: config NUM_POINTS=1024)")
+    p.add_argument("--num_samples_save", type=int, default=None,
+                   help="permutations saved by shapley init (default 1000)")
+    p.add_argument("--num_samples", type=int, default=None,
+                   help="permutations used per pose (default 100)")
     # TPU-native extras
     p.add_argument("--synthetic", action="store_true",
                    help="run on the deterministic synthetic eval set")
@@ -64,12 +70,17 @@ def config_from_args(args) -> ExperimentConfig:
     from ..config import set_gather_value_parts
     set_gather_value_parts(
         2 if getattr(args, "gather_precision", "bf16") == "hilo" else 1)
+    extra = {k: v for k, v in (
+        ("num_points", getattr(args, "num_points", None)),
+        ("num_samples_save", getattr(args, "num_samples_save", None)),
+        ("num_samples", getattr(args, "num_samples", None)),
+    ) if v is not None}
     return ExperimentConfig(
         model=args.model, dataset=args.dataset, seed=args.seed,
         softmax_type=args.softmax_type, model_path=args.model_path,
         data_root=args.data_root, checkpoints_root=args.checkpoints_root,
         shapley_batch_size=args.shapley_batch_size,
-        interaction_batch_size=args.interaction_batch_size)
+        interaction_batch_size=args.interaction_batch_size, **extra)
 
 
 def sample_indices_from_args(args):

@@ -2,7 +2,8 @@
 
 Replaces reference final_result.py — consumes the same artifact tree.
 """
-from .common import base_parser, config_from_args
+from .common import (base_parser, config_from_args,
+                     sample_indices_from_args)
 
 MODES_ALL = ["rotate", "trans", "scale", "linearity", "planarity", "scattering"]
 MODEL_NAMES = ["pointnet", "pointnet2", "pointconv", "dgcnn", "gcnn", "gcnn_adv"]
@@ -24,6 +25,10 @@ def main():
         args.model = model_name
         cfg = config_from_args(args)
         dataset, names = resolve_dataset(cfg, args.synthetic)
+        sel = sample_indices_from_args(args)
+        if sel is not None:      # restrict to samples that were processed
+            names = [names[i] for i in sel]
+            dataset = [dataset[i] for i in sel]
         if args.result_mode == "sensitivity":
             for mode in MODES_ALL:
                 try:

@@ -272,18 +272,52 @@ class SyntheticClouds(_TrainBase):
         self._seed = seed
 
     def _shape(self, kind: int, u: np.ndarray, v: np.ndarray) -> np.ndarray:
-        if kind % 3 == 0:       # sphere-ish
-            theta, phi = u * np.pi, v * 2 * np.pi
+        """Ten geometrically distinct parametric families — one per class —
+        so classifiers trained on this set have a real 10-way signal (a
+        synthetic stand-in for the 10-class ModelNet10/ShapeNet subsets)."""
+        theta, phi = u * np.pi, v * 2 * np.pi
+        k = kind % 10
+        if k == 0:              # lobed sphere
             r = 1.0 + 0.1 * np.sin(5 * phi)
             return np.stack([r * np.sin(theta) * np.cos(phi),
                              r * np.sin(theta) * np.sin(phi),
                              r * np.cos(theta)], -1)
-        if kind % 3 == 1:       # box surface
-            w = np.stack([u * 2 - 1, v * 2 - 1, np.sign(u * v - 0.25)], -1)
-            return w
-        # cylinder
-        phi = v * 2 * np.pi
-        return np.stack([np.cos(phi), np.sin(phi), u * 2 - 1], -1)
+        if k == 1:              # box surface
+            return np.stack([u * 2 - 1, v * 2 - 1,
+                             np.sign(u * v - 0.25)], -1)
+        if k == 2:              # cylinder
+            return np.stack([np.cos(phi), np.sin(phi), u * 2 - 1], -1)
+        if k == 3:              # torus
+            r0, r1 = 1.0, 0.35
+            return np.stack([(r0 + r1 * np.cos(theta * 2)) * np.cos(phi),
+                             (r0 + r1 * np.cos(theta * 2)) * np.sin(phi),
+                             r1 * np.sin(theta * 2)], -1)
+        if k == 4:              # cone
+            return np.stack([u * np.cos(phi), u * np.sin(phi), 1 - u * 2], -1)
+        if k == 5:              # flat ellipsoid
+            return np.stack([np.sin(theta) * np.cos(phi),
+                             0.6 * np.sin(theta) * np.sin(phi),
+                             0.25 * np.cos(theta)], -1)
+        if k == 6:              # helix tube
+            t = u * 4 * np.pi
+            return np.stack([np.cos(t) + 0.2 * np.cos(phi),
+                             np.sin(t) + 0.2 * np.sin(phi),
+                             (t / (2 * np.pi) - 1) * 0.8], -1)
+        if k == 7:              # two-sphere dumbbell
+            s = np.where(v < 0.5, 1.0, -1.0)
+            return np.stack([0.5 * np.sin(theta) * np.cos(4 * phi),
+                             0.5 * np.sin(theta) * np.sin(4 * phi),
+                             0.5 * np.cos(theta) + s * 0.7], -1)
+        if k == 8:              # rippled plane
+            return np.stack([u * 2 - 1, v * 2 - 1,
+                             0.3 * np.sin(3 * np.pi * u) *
+                             np.cos(3 * np.pi * v)], -1)
+        # k == 9: orthogonal cross of two slabs
+        w = np.stack([u * 2 - 1, (v * 2 - 1) * 0.25,
+                      np.sign(u - 0.5) * (v * 0.5 + 0.2)], -1)
+        swap = (np.arange(len(u)) % 2).astype(bool)
+        w[swap] = w[swap][:, [1, 0, 2]]
+        return w
 
     def _load(self, index):
         idx, label = self.items[index]

@@ -86,9 +86,11 @@ def test_full_pipeline(cfg, workdir):
     # invariant so just check orig_shapley exists
     assert os.path.exists(base + "trans_all/orig_shapley_value.npy")
 
-    # ---- stage 3: interactions
+    # ---- stage 3: interactions (all 13 ratios so the plot CLIs can run
+    # verbatim downstream; pairs/contexts kept tiny)
+    from interpret_quality_tpu.attrib.interactions import RATIOS
     run_gen_pair(cfg, "rotate", synthetic=True, allow_random_init=True,
-                 ratios=[0.0, 0.1], num_pairs_random=5,
+                 ratios=RATIOS, num_pairs_random=5,
                  num_save_context_max=4, sample_indices=SAMPLES)
     inter = base + f"interaction_seed{cfg.seed}/"
     pairs = np.load(inter + "region_pair_list.npy")
@@ -99,7 +101,7 @@ def test_full_pipeline(cfg, workdir):
     assert os.path.exists(inter + "rotate_adv/pred_labels.npy")
 
     run_interaction_logits(cfg, "rotate", synthetic=True,
-                           allow_random_init=True, ratios=[0.0, 0.1],
+                           allow_random_init=True, ratios=RATIOS,
                            sample_indices=SAMPLES)
     lg = __import__("interpret_quality_tpu.utils.io",
                     fromlist=["load_torch_tensor"]).load_torch_tensor(
@@ -107,7 +109,7 @@ def test_full_pipeline(cfg, workdir):
     assert lg.shape == (5, 16, 10)          # pairs x 4*contexts x classes
 
     run_cal_interactions(cfg, "rotate", synthetic=True, output_type="pred",
-                         ratios=[0.0, 0.1], sample_indices=SAMPLES)
+                         ratios=RATIOS, sample_indices=SAMPLES)
     inter_scores = np.load(inter + "normal/ratio10_pred_interaction.npy")
     assert inter_scores.shape == (5, 4)
     assert np.isfinite(inter_scores).all()
@@ -127,3 +129,91 @@ def test_full_pipeline(cfg, workdir):
     metric, per_pose, denom = cal_shapley_smoothness_metric_single_pc(
         np.asarray(data), sv, region_id, R)
     assert np.isfinite(metric) and per_pose.shape == (4,)
+
+
+def test_scale_enum_sharded_end_to_end(cfg):
+    """run_enum with coalition sharding over the 8-device mesh, through the
+    artifact-writing loop, must reproduce the single-device artifacts."""
+    import shutil
+
+    from interpret_quality_tpu.attrib.stages import run_enum
+    from interpret_quality_tpu.parallel import coalition_sharding, make_mesh
+    from interpret_quality_tpu.pipeline import resolve_dataset
+
+    _, names = resolve_dataset(cfg, synthetic=True)
+    base = cfg.exp_folder + f"{names[0]}/"
+    mesh = make_mesh(8)
+    run_enum(cfg, "scale", synthetic=True, allow_random_init=True,
+             pose_chunk=2, sample_indices=[0], max_poses=4,
+             coalition_sharding=coalition_sharding(mesh))
+    sv_sharded = np.load(base + "scale_all/region_shapley_value.npy")
+    assert sv_sharded.shape == (4, cfg.num_regions)
+    assert np.isfinite(sv_sharded).all()
+
+    shutil.move(base + "scale_all", base + "scale_all_sharded")
+    run_enum(cfg, "scale", synthetic=True, allow_random_init=True,
+             pose_chunk=2, sample_indices=[0], max_poses=4)
+    sv1 = np.load(base + "scale_all/region_shapley_value.npy")
+    np.testing.assert_allclose(sv_sharded, sv1, rtol=1e-4, atol=1e-5)
+    shutil.rmtree(base + "scale_all_sharded")
+
+
+def test_smoothness_stage(cfg):
+    """Short smoothness enumeration (one mode, 2 epochs) writes the
+    reference artifact schema and finite Shapley values."""
+    from interpret_quality_tpu.attrib.smoothness import run_smoothness
+    from interpret_quality_tpu.pipeline import resolve_dataset
+
+    run_smoothness(cfg, modes=["linearity"], synthetic=True,
+                   allow_random_init=True, sample_indices=[0], max_epochs=2)
+    _, names = resolve_dataset(cfg, synthetic=True)
+    base = cfg.exp_folder + f"{names[0]}/linearity_all/"
+    for objective in ("inc", "dec"):
+        d = base + f"allregion_{objective}/"
+        sv = np.load(d + "region_shapley_value.npy")
+        assert sv.shape[1] == cfg.num_regions and sv.shape[0] <= 2
+        assert np.isfinite(sv).all()
+        smooth = np.load(d + "linearity.npy")
+        assert smooth.shape == (sv.shape[0], cfg.num_regions)
+        assert os.path.exists(d + "data_smoothness.npy")
+
+
+def _cli_args(cfg, *extra):
+    return ["prog", "--model", cfg.model, "--dataset", cfg.dataset,
+            "--synthetic", "--checkpoints_root", cfg.checkpoints_root,
+            "--num_points", str(cfg.num_points),
+            "--num_samples_save", str(cfg.num_samples_save),
+            "--num_samples", str(cfg.num_samples), *extra]
+
+
+def test_result_cli_paths(cfg, capsys, monkeypatch):
+    """cli.result over the artifacts the pipeline test wrote, all three
+    result modes (reference final_result.py:216-255)."""
+    import sys
+
+    from interpret_quality_tpu.cli import result
+
+    for mode, needle in (("sensitivity", "mean normalized range"),
+                         ("correlation", "mean Pearson r"),
+                         ("smoothness", "smoothness metric")):
+        monkeypatch.setattr(sys, "argv",
+                            _cli_args(cfg, "--result_mode", mode,
+                                      "--samples", "0,1"))
+        result.main()
+        out = capsys.readouterr().out
+        assert needle in out, (mode, out)
+
+
+def test_plot_interaction_cli(cfg, workdir, monkeypatch):
+    """cli.plot_interaction normal-vs-adv over the 13-ratio artifacts."""
+    import sys
+
+    from interpret_quality_tpu.cli import plot_interaction
+
+    fig_root = workdir + "/figures"
+    monkeypatch.setattr(sys, "argv", _cli_args(
+        cfg, "--plot_mode", "normal_vs_adv", "--mode", "rotate",
+        "--samples", "0,1", "--fig_root", fig_root))
+    plot_interaction.main()
+    figs = [f for root, _, files in os.walk(fig_root) for f in files]
+    assert figs, "plot CLI produced no figure files"

@@ -64,6 +64,31 @@ def test_sharded_multi_pose_matches_single_device():
     np.testing.assert_allclose(lg1, lg8, rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_interaction_engine_matches_single_device():
+    """InteractionEngine with coalition sharding: identical logits."""
+    from interpret_quality_tpu.attrib.interactions import InteractionEngine
+
+    rng = np.random.RandomState(2)
+    N, R, P, C = 64, 8, 6, 4
+    data = rng.randn(N, 3).astype(np.float32) + 3.0
+    region_id = rng.randint(0, R, N)
+    region_id[:R] = np.arange(R)
+    fwd = _toy_forward(region_id, R, data.mean(0))
+    pair_list = np.stack([rng.choice(R, 2, replace=False) for _ in range(P)])
+    context_list = np.stack(
+        [[rng.choice([r for r in range(R) if r not in pair], 3,
+                     replace=False) for _ in range(C)] for pair in pair_list])
+
+    single = InteractionEngine(fwd, R, batch_contexts=4)
+    lg1 = single.logits_for_pairs(data, region_id, pair_list, context_list)
+
+    mesh = make_mesh(8)
+    sharded = InteractionEngine(fwd, R, batch_contexts=4,
+                                coalition_sharding=coalition_sharding(mesh))
+    lg8 = sharded.logits_for_pairs(data, region_id, pair_list, context_list)
+    np.testing.assert_allclose(lg1, lg8, rtol=1e-5, atol=1e-6)
+
+
 def test_dryrun_multichip_entrypoint():
     import sys
     sys.path.insert(0, "/root/repo")
