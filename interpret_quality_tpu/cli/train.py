@@ -14,6 +14,10 @@ def main():
     p.add_argument("--drop_point", action="store_true")
     p.add_argument("--train_rot_y_perturbation", action="store_true")
     p.add_argument("--train_rot_all_perturbation", action="store_true")
+    p.add_argument("--train_samples", type=int, default=512,
+                   help="synthetic-set size (only with --synthetic)")
+    p.add_argument("--test_samples", type=int, default=128,
+                   help="synthetic eval-set size (only with --synthetic)")
     args = p.parse_args()
     cfg = config_from_args(args)
 
@@ -27,9 +31,11 @@ def main():
 
     set_random(cfg.seed)
     if args.synthetic:
-        train_ds = SyntheticClouds(num_samples=64, num_points=cfg.num_points,
+        train_ds = SyntheticClouds(num_samples=args.train_samples,
+                                   num_points=cfg.num_points,
                                    seed=cfg.seed, train=True)
-        test_ds = SyntheticClouds(num_samples=16, num_points=cfg.num_points,
+        test_ds = SyntheticClouds(num_samples=args.test_samples,
+                                  num_points=cfg.num_points,
                                   seed=cfg.seed + 1)
     elif cfg.dataset == "modelnet10":
         kw = dict(data_root=cfg.data_root, num_points=cfg.num_points,
