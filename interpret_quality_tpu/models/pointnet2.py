@@ -53,11 +53,12 @@ class SetAbstractionMsg(nn.Module):
                 assert len(self.mlp_list[i]) == 3
                 D = 0 if points is None else points.shape[-1]
                 (A1, b1), (A2, b2), (A3, b3) = mlp(fold=True, c_in=D + 3)
-                src = (xyz if points is None
-                       else jnp.concatenate([points, xyz], -1))
-                u = src @ A1 + b1                          # (B, N, C1)
-                csw = new_xyz @ A1[D:]                     # (B, S, C1)
-                outs.append(fused_ball_mlp3(new_xyz, xyz, u, csw,
+                # reference input order [features, xyz offsets]
+                # (pointnet2.py:226): A1 rows [0:D] features, [D:] xyz.
+                # Features hoist above the gather; the xyz-offset part of
+                # layer 1 is computed in-kernel from exact f32 coordinates.
+                uf = None if points is None else points @ A1[:D]
+                outs.append(fused_ball_mlp3(new_xyz, xyz, uf, b1, A1[D:],
                                             A2, b2, A3, b3,
                                             radius=radius, k=K,
                                             parts=gather_value_parts()))

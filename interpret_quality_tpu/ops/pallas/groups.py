@@ -36,9 +36,10 @@ from .neighbors import _dist_tile, _split_parts
 _BIG = 1e30
 
 
-def _ball_mlp3_kernel(newxyz_ref, xyzt_ref, uhl_ref, csw_ref,
+def _ball_mlp3_kernel(newxyz_ref, xyzt_ref, xyzn_ref, ufhl_ref,
+                      b1_ref, a1x_ref,
                       a2_ref, b2_ref, a3_ref, b3_ref, out_ref,
-                      *, k: int, radius2: float, parts: int):
+                      *, k: int, radius2: float, parts: int, has_uf: bool):
     dist = _dist_tile(newxyz_ref[0], xyzt_ref[0])          # (Sq, N) f32
     sq, n = dist.shape
     in_ball = dist <= radius2
@@ -53,9 +54,10 @@ def _ball_mlp3_kernel(newxyz_ref, xyzt_ref, uhl_ref, csw_ref,
     sel_rank = jnp.where(in_ball, rank, -1.0)              # (Sq, N)
     fill_oh = (sel_rank == 1.0).astype(jnp.bfloat16)       # first in-ball
 
-    uhl = uhl_ref[0]                                       # (N, parts*C1) bf16
-    csw = csw_ref[0]                                       # (Sq, C1)
-    c1 = csw.shape[-1]
+    xyzn = xyzn_ref[0]                                     # (N, 4) f32
+    ufhl = ufhl_ref[0]                                     # (N, parts*C1) bf16
+    b1, a1x = b1_ref[:], a1x_ref[:]                        # (1,C1), (4,C1)
+    c1 = b1.shape[-1]
     a2, b2 = a2_ref[:], b2_ref[:]
     a3, b3 = a3_ref[:], b3_ref[:]
     c3 = a3.shape[-1]
@@ -65,7 +67,8 @@ def _ball_mlp3_kernel(newxyz_ref, xyzt_ref, uhl_ref, csw_ref,
     # matmuls like (Sq, C1) @ (C1, C2) with C <= 128 waste most of the MXU
     # tile, so batching slots is a large win at K in {64, 128}.
     gsz = min(8, k)
-    csw_g = jnp.tile(csw, (gsz, 1))                        # (G*Sq, C1)
+    nxyz4 = jnp.pad(newxyz_ref[0], ((0, 0), (0, 1)))       # (Sq, 4)
+    nxyz_g = jnp.tile(nxyz4, (gsz, 1))                     # (G*Sq, 4)
 
     def group(i, acc):
         j0 = (i * gsz).astype(jnp.float32)
@@ -78,11 +81,22 @@ def _ball_mlp3_kernel(newxyz_ref, xyzt_ref, uhl_ref, csw_ref,
             float(k - 1))
         oh = (sel_rank[None] == js + 1.0)                  # (G, Sq, N) bool
         ohb = jnp.where(nball[None] > js, oh.astype(jnp.bfloat16),
-                        fill_oh[None])
-        ghl = jnp.dot(ohb.reshape(gsz * sq, n), uhl,
-                      preferred_element_type=jnp.float32)
-        g = ghl if parts == 1 else ghl[:, :c1] + ghl[:, c1:]   # hi (+ lo)
-        h = jnp.maximum(g - csw_g, 0.0)                    # layer 1 (folded)
+                        fill_oh[None]).reshape(gsz * sq, n)
+        # layer 1 = (xyz_j - new_xyz_s) @ A1[xyz rows] + feats_j @ A1[feat
+        # rows] + b1.  The xyz offset is gathered EXACTLY — f32 one-hot
+        # matmul against the f32 coordinates already resident for the
+        # distance tile — so no bf16 plane ever touches the cancellation-
+        # prone local offsets (cf. the pointconv kernel's hi/lo xyz planes).
+        gxyz = jax.lax.dot_general(
+            ohb.astype(jnp.float32), xyzn, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (G*Sq, 4)
+        pre = jnp.dot(gxyz - nxyz_g, a1x,
+                      preferred_element_type=jnp.float32) + b1
+        if has_uf:
+            ghl = jnp.dot(ohb, ufhl, preferred_element_type=jnp.float32)
+            pre = pre + (ghl if parts == 1
+                         else ghl[:, :c1] + ghl[:, c1:])   # hi (+ lo)
+        h = jnp.maximum(pre, 0.0)                          # layer 1 (folded)
         h = jnp.maximum(
             jnp.dot(h, a2, preferred_element_type=jnp.float32) + b2, 0.0)
         h = jnp.maximum(
@@ -168,51 +182,68 @@ def _gather_rows(values, idx, block_q, parts, interpret):
     return out.reshape(B, S, K, fp)[..., :F]
 
 
-def fused_ball_mlp3(new_xyz: jnp.ndarray, xyz: jnp.ndarray, u: jnp.ndarray,
-                    csw: jnp.ndarray, a2: jnp.ndarray, b2: jnp.ndarray,
+def fused_ball_mlp3(new_xyz: jnp.ndarray, xyz: jnp.ndarray,
+                    uf: "jnp.ndarray | None", b1: jnp.ndarray,
+                    a1x: jnp.ndarray, a2: jnp.ndarray, b2: jnp.ndarray,
                     a3: jnp.ndarray, b3: jnp.ndarray, *, radius: float,
                     k: int, block_q: int = 128, parts: int = None,
                     interpret: bool = False) -> jnp.ndarray:
     """Fused SA branch: max over ball-grouped 3-layer MLP outputs.
 
+    Layer 1 is split: the feature part (``uf = feats @ A1[feat rows]``) is
+    hoisted above the gather and carried in bf16 planes, while the
+    cancellation-prone xyz-offset part ``(xyz_j - new_xyz_s) @ A1[xyz
+    rows]`` is computed in-kernel from an EXACT f32 coordinate gather.
+
     Args:
       new_xyz: (B, S, 3) query centres (FPS points).
       xyz: (B, N, 3) source coordinates.
-      u: (B, N, C1) first-layer pre-activations of each source point
-         (= [feats, xyz] @ A1 + b1, BatchNorm folded).
-      csw: (B, S, C1) per-centre offset (= new_xyz @ A1[xyz rows]).
+      uf: (B, N, C1) hoisted feature pre-activations, or None when the
+         branch has no input features (PointNet++ SA1).
+      b1: (C1,) folded layer-1 bias.
+      a1x: (3, C1) layer-1 weight rows for the xyz offsets.
       a2/b2: (C1, C2), (C2) folded layer-2 weight/bias.
       a3/b3: (C2, C3), (C3) folded layer-3 weight/bias.
       radius, k: ball-query radius and slot count.
-      parts: value-plane precision; None follows
+      parts: feature-plane precision; None follows
           `config.gather_value_parts()` (see `gather_rows`).
     Returns:
-      (B, S, C3) float32 = max over the K slots of
-      relu(relu(relu(u_j - csw_s) @ a2 + b2) @ a3 + b3).
+      (B, S, C3) float32 = max over the K ball slots of
+      relu(relu(relu(layer1) @ a2 + b2) @ a3 + b3).
     """
     if parts is None:
         parts = gather_value_parts()
-    return _fused_ball_mlp3(new_xyz, xyz, u, csw, a2, b2, a3, b3,
+    B, N = xyz.shape[0], xyz.shape[1]
+    has_uf = uf is not None
+    if not has_uf:      # 1-lane dummy plane keeps the pallas_call uniform
+        uf = jnp.zeros((B, N, 1), jnp.float32)
+    return _fused_ball_mlp3(new_xyz, xyz, uf, b1, a1x, a2, b2, a3, b3,
                             radius=radius, k=k, block_q=block_q,
-                            parts=parts, interpret=interpret)
+                            parts=parts, has_uf=has_uf, interpret=interpret)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "radius", "block_q", "parts",
-                                    "interpret"))
-def _fused_ball_mlp3(new_xyz, xyz, u, csw, a2, b2, a3, b3, *, radius, k,
-                     block_q, parts, interpret):
+                                    "has_uf", "interpret"))
+def _fused_ball_mlp3(new_xyz, xyz, uf, b1, a1x, a2, b2, a3, b3, *, radius, k,
+                     block_q, parts, has_uf, interpret):
     B, S, _ = new_xyz.shape
     N = xyz.shape[1]
     C3 = a3.shape[-1]
     bq = min(block_q, S)
     assert S % bq == 0, (S, bq)
-    xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)
-    uhl = _split_parts(u.astype(jnp.float32), parts)   # (B, N, parts*C1)
+    xyz = xyz.astype(jnp.float32)
+    xyz_t = jnp.swapaxes(xyz, 1, 2)
+    xyz_n = jnp.concatenate(
+        [xyz, jnp.zeros((B, N, 1), jnp.float32)], axis=-1)  # (B, N, 4)
+    ufhl = _split_parts(uf.astype(jnp.float32), parts)  # (B, N, parts*Cu)
+    a1x4 = jnp.pad(a1x.astype(jnp.float32), ((0, 1), (0, 0)))  # (4, C1)
 
     kernel = functools.partial(_ball_mlp3_kernel, k=k,
-                               radius2=float(radius) ** 2, parts=parts)
+                               radius2=float(radius) ** 2, parts=parts,
+                               has_uf=has_uf)
     C1, C2 = a2.shape[0], a2.shape[1]
+    cu = ufhl.shape[-1]
     out = pl.pallas_call(
         kernel,
         grid=(B, S // bq),
@@ -221,9 +252,13 @@ def _fused_ball_mlp3(new_xyz, xyz, u, csw, a2, b2, a3, b3, *, radius, k,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, N), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, parts * C1), lambda b, q: (b, 0, 0),
+            pl.BlockSpec((1, N, 4), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, C1), lambda b, q: (b, q, 0),
+            pl.BlockSpec((1, N, cu), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C1), lambda b, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, C1), lambda b, q: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C1, C2), lambda b, q: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -238,8 +273,9 @@ def _fused_ball_mlp3(new_xyz, xyz, u, csw, a2, b2, a3, b3, *, radius, k,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S, C3), jnp.float32),
         interpret=interpret,
-    )(new_xyz.astype(jnp.float32), xyz_t, uhl,
-      csw.astype(jnp.float32), a2.astype(jnp.float32),
+    )(new_xyz.astype(jnp.float32), xyz_t, xyz_n, ufhl,
+      b1.reshape(1, -1).astype(jnp.float32), a1x4,
+      a2.astype(jnp.float32),
       b2.reshape(1, -1).astype(jnp.float32), a3.astype(jnp.float32),
       b3.reshape(1, -1).astype(jnp.float32))
     return out

@@ -191,12 +191,14 @@ def test_fused_pointnet2_matches_xla():
         with pltpu.force_tpu_interpret_mode():
             out = apply_fused(variables, x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=1e-4, atol=1e-6)
         set_gather_value_parts(1)                    # default: plain bf16
+        # the xyz-offset half of layer 1 is gathered exactly in-kernel, so
+        # only the hoisted feature planes round (measured max abs 5e-6)
         with pltpu.force_tpu_interpret_mode():
             out = jax.jit(lambda v, x: model.apply(
                 v, x, train=False, fused=True))(variables, x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=4e-2, atol=2e-3)
+                                   rtol=5e-3, atol=1e-4)
     finally:
         set_gather_value_parts(1)
