@@ -170,3 +170,60 @@ def test_rot_angle_axis_oracle_and_grad():
         am = angle.copy(); am[b] -= eps
         fd = (float(loss(jnp.asarray(ap))) - float(loss(jnp.asarray(am)))) / (2 * eps)
         np.testing.assert_allclose(g[b], fd, rtol=5e-2, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Perturbation grids: exact parity with the reference's construction
+# ---------------------------------------------------------------------------
+def test_trans_grid_matches_reference_construction():
+    """6^3 meshgrid in [-0.5, 0.5]^3, rows beyond the L2 ball projected back
+    (reference final_trans_center_enum_all.py:24-43)."""
+    from interpret_quality_tpu.attrib.perturbations import MODES
+    got = np.asarray(MODES["trans"].generate_params())
+    t = 0.5
+    axes = np.linspace(-t, t, 6)
+    X, Y, Z = np.meshgrid(axes, axes, axes, indexing="ij")
+    exp = np.stack([X, Y, Z], -1).reshape(-1, 3).astype(np.float32)
+    n = np.linalg.norm(exp, axis=1, keepdims=True)
+    exp = np.where(n > t, exp / n * t, exp)
+    assert got.shape == (216, 3)
+    np.testing.assert_allclose(got, exp, atol=1e-6)
+
+
+def test_rotate_grid_matches_reference_construction():
+    """6^3 Euler-angle meshgrid in [-pi/4, pi/4]^3
+    (reference final_rotate_center_enum_all.py:41-58)."""
+    from interpret_quality_tpu.attrib.perturbations import MODES
+    got = np.asarray(MODES["rotate"].generate_params())
+    t = np.pi / 4
+    axes = np.linspace(-t, t, 6)
+    X, Y, Z = np.meshgrid(axes, axes, axes, indexing="ij")
+    exp = np.stack([X, Y, Z], -1).reshape(-1, 3).astype(np.float32)
+    assert got.shape == (216, 3)
+    np.testing.assert_allclose(got, exp, atol=1e-6)
+
+
+def test_scale_grid_matches_reference_construction():
+    """30 uniform scales in [0.5, 2.0]
+    (reference final_scale_center_enum_all.py:25-31)."""
+    from interpret_quality_tpu.attrib.perturbations import MODES
+    got = np.asarray(MODES["scale"].generate_params())
+    exp = np.linspace(0.5, 2.0, 30).astype(np.float32)
+    np.testing.assert_allclose(got.reshape(-1), exp, atol=1e-6)
+
+
+def test_rotate_xyz_matches_reference_composition():
+    """R = Rx @ Ry @ Rz applied as x @ R.T
+    (reference final_rotate_center_enum_all.py:15-38)."""
+    from interpret_quality_tpu.ops.transforms import rotate_xyz
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 50, 3).astype(np.float32)
+    ang = np.array([0.3, -0.7, 1.1], np.float32)
+    cx, cy, cz = np.cos(ang)
+    sx, sy, sz = np.sin(ang)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    exp = x @ (Rx @ Ry @ Rz).T.astype(np.float32)
+    got = np.asarray(rotate_xyz(jnp.asarray(x), jnp.asarray(ang)))
+    np.testing.assert_allclose(got, exp, atol=1e-5)

@@ -171,6 +171,27 @@ def test_bf16_gather_error_budget_structured_weights(clouds):
     assert dev < 0.02 * scale, (dev, scale)
 
 
+def test_t7_checkpoint_roundtrip(clouds, tmp_path):
+    """A torch-saved state dict (.t7, the reference's published-checkpoint
+    format — main_cls_seed.py:202-209) loads through load_checkpoint and
+    reproduces the torch logits."""
+    import torch
+
+    from interpret_quality_tpu.models.checkpoint import load_checkpoint
+    from interpret_quality_tpu.models.registry import init_model
+
+    tm = _build_torch_model("dgcnn")
+    path = tmp_path / "model_best.t7"
+    torch.save({"module." + k: v for k, v in tm.state_dict().items()},
+               str(path))
+    model = build_model("dgcnn", num_classes=10, k=20)
+    template = init_model(model, jax.random.PRNGKey(0), num_points=N)
+    variables = load_checkpoint("dgcnn", str(path), template)
+    got = _flax_logits("dgcnn", variables, clouds)
+    np.testing.assert_allclose(got, _torch_logits(tm, clouds),
+                               **TOLS["dgcnn"])
+
+
 def test_module_prefix_stripped(clouds):
     """DataParallel 'module.'-prefixed checkpoints convert identically
     (reference tools/final_util.py:250-262)."""

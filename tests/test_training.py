@@ -90,3 +90,27 @@ def test_fit_one_epoch_synthetic():
                       exp_dir=d, seed=0)
     assert np.isfinite(float(best)) or best == 0.80
     assert int(state.step) == 2
+
+
+def test_fit_adversarial_one_epoch():
+    """Adversarial fine-tuning loop (reference main_cls_adv.py:35-290):
+    one epoch on tiny synthetic gcnn, both BIM variants per batch."""
+    import tempfile
+
+    from interpret_quality_tpu.data.datasets import SyntheticClouds
+    from interpret_quality_tpu.models import build_model, init_model
+    from interpret_quality_tpu.train.adversarial import fit_adversarial
+
+    train_ds = SyntheticClouds(num_samples=8, num_points=48, num_classes=3,
+                               seed=0, train=True)
+    test_ds = SyntheticClouds(num_samples=4, num_points=48, num_classes=3,
+                              seed=1)
+    model = build_model("gcnn", num_classes=3, k=4)
+    variables = init_model(model, jax.random.PRNGKey(0), num_points=48)
+    d = tempfile.mkdtemp()
+    state, best = fit_adversarial(model, variables, "gcnn_adv", train_ds,
+                                  test_ds, batch_size=4, test_batch_size=4,
+                                  epochs=1, exp_dir=d, seed=0)
+    assert int(state.step) == 2
+    assert np.all(np.isfinite(
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0])))
