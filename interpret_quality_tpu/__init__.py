@@ -52,4 +52,31 @@ def _enable_compile_cache():
         pass
 
 
+def _select_platform():
+    """``IQTPU_PLATFORM=cpu[:N]`` forces the JAX backend (and an optional
+    virtual device count) from the environment.
+
+    This environment's site hook force-registers the TPU tunnel backend and
+    ignores ``JAX_PLATFORMS``/``XLA_FLAGS`` env vars, so scripts that must
+    run CPU-only (tests, data prep, fallback runs while the tunnel is down)
+    need an in-process override before the backend initialises — importing
+    this package early enough does it.
+    """
+    import os
+
+    spec = os.environ.get("IQTPU_PLATFORM")
+    if not spec:
+        return
+    try:
+        import jax
+
+        platform, _, n = spec.partition(":")
+        jax.config.update("jax_platforms", platform)
+        if n:
+            jax.config.update("jax_num_cpu_devices", int(n))
+    except Exception:
+        pass
+
+
 _enable_compile_cache()
+_select_platform()

@@ -61,6 +61,14 @@ def main():
         cfg.model, cfg.dataset, cfg.num_points, suffix)
     exp_dir = f"{cfg.checkpoints_root}/{exp_name}"
     mkdir(exp_dir)
+    # source provenance next to the checkpoints (reference
+    # main_cls_seed.py:30-33 .backup copies)
+    from .. import config as _config
+    from ..data import datasets as _datasets
+    from ..models import registry as _registry
+    from ..train import trainer as _trainer
+    from ..utils.io import snapshot_sources
+    snapshot_sources(exp_dir, [_trainer, _registry, _datasets, _config])
     io = IOStream(exp_dir + "/run.log")
     io.cprint(str(args))
 

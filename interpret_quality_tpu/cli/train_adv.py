@@ -50,6 +50,12 @@ def main():
                 % (cfg.dataset, cfg.num_points))
     exp_dir = f"{cfg.checkpoints_root}/{exp_name}"
     mkdir(exp_dir)
+    # source provenance (reference main_cls_adv.py:28-31 .backup copies)
+    from .. import config as _config
+    from ..models import registry as _registry
+    from ..train import adversarial as _adversarial
+    from ..utils.io import snapshot_sources
+    snapshot_sources(exp_dir, [_adversarial, _registry, _config])
     io = IOStream(exp_dir + "/run.log")
     io.cprint(str(args))
 

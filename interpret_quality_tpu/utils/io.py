@@ -52,3 +52,27 @@ def save_torch_tensor(path: str, arr):
 def load_torch_tensor(path: str):
     import torch
     return torch.load(path, map_location="cpu").numpy()
+
+
+def snapshot_sources(exp_dir: str, modules) -> list:
+    """Copy the source files of `modules` into ``exp_dir`` as ``*.backup`` —
+    the reference's poor-man's provenance system (main_cls_seed.py:30-33:
+    the driver, model, util and data sources are snapshotted next to every
+    checkpoint so a run can always be traced to the code that produced it).
+
+    Args:
+      modules: imported module objects (or anything with ``__file__``).
+    Returns: list of written paths.
+    """
+    import shutil
+
+    mkdir(exp_dir)
+    written = []
+    for mod in modules:
+        src = getattr(mod, "__file__", None)
+        if not src or not os.path.exists(src):
+            continue
+        dst = os.path.join(exp_dir, os.path.basename(src) + ".backup")
+        shutil.copyfile(src, dst)
+        written.append(dst)
+    return written
