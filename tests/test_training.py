@@ -114,3 +114,31 @@ def test_fit_adversarial_one_epoch():
     assert int(state.step) == 2
     assert np.all(np.isfinite(
         np.asarray(jax.tree_util.tree_leaves(state.params)[0])))
+
+
+def test_train_adv_cli_resume(tmp_path, monkeypatch):
+    """cli.train_adv end-to-end: resumes from a saved GCNN checkpoint
+    (reference main_cls_adv.py:66,328-329) and writes its own artifacts,
+    including the source .backup provenance snapshots."""
+    import os
+    import sys
+
+    from interpret_quality_tpu.cli import train_adv
+    from interpret_quality_tpu.models import build_model, init_model
+    from interpret_quality_tpu.models.checkpoint import save_variables
+
+    model = build_model("gcnn", num_classes=10, k=20)
+    variables = init_model(model, jax.random.PRNGKey(0), num_points=32)
+    resume = tmp_path / "model_99.msgpack"
+    save_variables(str(resume), variables)
+
+    monkeypatch.setattr(sys, "argv", [
+        "train_adv", "--synthetic", "--num_points", "32",
+        "--epochs", "1", "--batch_size", "32", "--test_batch_size", "16",
+        "--checkpoints_root", str(tmp_path / "ckpt"),
+        "--resume_path", str(resume), "--train_rot_all_perturbation"])
+    train_adv.main()
+    exp = (tmp_path / "ckpt" /
+           "exp_MODEL_gcnn_adv_DATA_modelnet10_POINTNUM_32_clean_with_all_rot_da")
+    assert os.path.exists(exp / "run.log")
+    assert any(f.endswith(".backup") for f in os.listdir(exp))
