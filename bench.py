@@ -101,6 +101,39 @@ def bench_model(name: str, orders: int | None, steps: int, warmup: int,
     }
 
 
+def bench_enum_stage(name: str, num_points: int, max_poses: int) -> dict:
+    """Sustained full-pipeline rate: the actual run_enum stage (pose
+    batching, artifact writes, async transfers) on one synthetic cloud."""
+    import tempfile
+    import time as _time
+
+    from interpret_quality_tpu.attrib.stages import (run_enum,
+                                                     run_shapley_init)
+    from interpret_quality_tpu.config import ExperimentConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        import os
+        cwd = os.getcwd()
+        os.chdir(tmp)          # fps index path is cwd-relative
+        try:
+            cfg = ExperimentConfig(model=name, num_points=num_points,
+                                   checkpoints_root=tmp + "/ckpt")
+            run_shapley_init(cfg, synthetic=True, allow_random_init=True,
+                             sample_indices=[0])
+            t0 = _time.perf_counter()
+            run_enum(cfg, "trans", synthetic=True, allow_random_init=True,
+                     sample_indices=[0], max_poses=max_poses)
+            dt = _time.perf_counter() - t0
+        finally:
+            os.chdir(cwd)
+    forwards = max_poses * cfg.num_samples * (cfg.num_regions + 1)
+    return {"model": name, "stage": "enum_trans",
+            "poses": max_poses,
+            "sustained_forwards_per_sec": round(forwards / dt, 1),
+            "vs_baseline": round(
+                forwards / dt / reference_fwds_per_sec(name), 3)}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="all",
@@ -110,7 +143,19 @@ def main():
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--num_points", type=int, default=1024)
     p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--stage", default=None, choices=["enum"],
+                   help="measure the sustained run_enum pipeline rate "
+                        "(incl. artifact writes) instead of engine steps")
+    p.add_argument("--max_poses", type=int, default=48,
+                   help="poses for --stage enum")
     args = p.parse_args()
+
+    if args.stage == "enum":
+        names = ALL_MODELS if args.model == "all" else [args.model]
+        for name in names:
+            print(json.dumps(bench_enum_stage(name, args.num_points,
+                                              args.max_poses)))
+        return
 
     names = ALL_MODELS if args.model == "all" else [args.model]
     results = []
