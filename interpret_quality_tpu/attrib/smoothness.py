@@ -44,9 +44,20 @@ SMOOTH_MODES = ("linearity", "planarity", "scattering")
 # ---------------------------------------------------------------------------
 def principal_orientations(points: np.ndarray) -> Tuple[np.ndarray, ...]:
     """(o1, o2, o3) eigenvectors of the unbiased covariance, by descending
-    eigenvalue (reference :22-45)."""
+    eigenvalue (reference :22-45).
+
+    Degenerate regions (fewer than 2 points — possible only at toy scales,
+    never at the reference's 1024/32 geometry) fall back to the canonical
+    axes instead of feeding a NaN covariance to eigh.
+    """
+    if points.shape[0] < 2:
+        return (np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]),
+                np.array([0.0, 0.0, 1.0]))
     centred = points - points.mean(axis=0)
     cov = centred.T @ centred / (points.shape[0] - 1)
+    if not np.all(np.isfinite(cov)):
+        return (np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]),
+                np.array([0.0, 0.0, 1.0]))
     _, vecs = np.linalg.eigh(cov)            # ascending eigenvalues
     return vecs[:, 2].copy(), vecs[:, 1].copy(), vecs[:, 0].copy()
 
@@ -54,13 +65,15 @@ def principal_orientations(points: np.ndarray) -> Tuple[np.ndarray, ...]:
 def _masked_var(proj: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Unbiased variance of proj over masked entries."""
     s = jnp.sum(mask)
-    mean = jnp.sum(proj * mask) / s
-    return jnp.sum(mask * (proj - mean) ** 2) / (s - 1.0)
+    mean = jnp.sum(proj * mask) / jnp.maximum(s, 1.0)
+    # max(s-1, 1) is the identity for every real region (>= 2 points)
+    return jnp.sum(mask * (proj - mean) ** 2) / jnp.maximum(s - 1.0, 1.0)
 
 
 def _smoothness_value(v1, v2, v3, mode: str):
     vs = jnp.sort(jnp.stack([v1, v2, v3]))
     s_min, s_mid, s_max = vs[0], vs[1], vs[2]
+    s_max = jnp.where(s_max > 0, s_max, 1.0)
     if mode == "linearity":
         return (s_max - s_mid) / s_max
     if mode == "planarity":
@@ -70,9 +83,13 @@ def _smoothness_value(v1, v2, v3, mode: str):
 
 def region_smoothness_np(points: np.ndarray, mode: str) -> float:
     """Host oracle for tests and the original-value computation."""
+    if points.shape[0] < 2:
+        return 0.0
     o1, o2, o3 = principal_orientations(points)
     v = np.array([np.var(points @ o, ddof=1) for o in (o1, o2, o3)])
     v = np.sort(v)
+    if not np.isfinite(v[2]) or v[2] <= 0.0:
+        return 0.0
     if mode == "linearity":
         return float((v[2] - v[1]) / v[2])
     if mode == "planarity":
@@ -162,17 +179,22 @@ def smoothness_epoch_all_regions(data, orig, masks, orientations, bounds,
             proj = jnp.einsum("nc,rdc->rnd", x, orientations)   # (R, N, 3)
             m = masks[:, :, None]
             s = num_pts[:, None]
-            mean = jnp.sum(proj * m, axis=1, keepdims=True) / s[:, None]
-            v = jnp.sum(m * (proj - mean) ** 2, axis=1) / (s - 1.0)  # (R, 3)
+            mean = jnp.sum(proj * m, axis=1, keepdims=True) / jnp.maximum(
+                s[:, None], 1.0)
+            # max(s-1, 1) is the identity for every real region (>= 2 points)
+            # and keeps single-point toy regions NaN-free (they are inactive).
+            v = jnp.sum(m * (proj - mean) ** 2, axis=1) / jnp.maximum(
+                s - 1.0, 1.0)                              # (R, 3)
             in_bound = (v <= bounds[:, 0]) & (v >= bounds[:, 1])
             v_b = jnp.where(in_bound, v, jax.lax.stop_gradient(v))
             vs = jnp.sort(v_b, axis=1)                     # (R, 3) ascending
+            s_max = jnp.where(vs[:, 2] > 0, vs[:, 2], 1.0)
             if mode == "linearity":
-                sm = (vs[:, 2] - vs[:, 1]) / vs[:, 2]
+                sm = (vs[:, 2] - vs[:, 1]) / s_max
             elif mode == "planarity":
-                sm = (vs[:, 1] - vs[:, 0]) / vs[:, 2]
+                sm = (vs[:, 1] - vs[:, 0]) / s_max
             else:
-                sm = vs[:, 0] / vs[:, 2]
+                sm = vs[:, 0] / s_max
             # gradients only for regions still chasing this iteration
             sm_g = jnp.where(chase, sm, jax.lax.stop_gradient(sm))
             return jnp.sum(sm_g), (sm, in_bound)
@@ -277,16 +299,20 @@ def test_all_region(engine, data: np.ndarray, lbl: int, orders: np.ndarray,
     io.cprint("origin shapley of this region: %s" % str(orig_sv))
     save_npy(result_path + "orig_shapley_value.npy", orig_sv)
 
-    masks, orients, bounds, smooth_prev = [], [], [], []
+    masks, orients, bounds, smooth_prev, usable = [], [], [], [], []
     for r in range(R):
         m = (region_id == r)
         pts = orig[m]
         o1, o2, o3 = principal_orientations(pts)
-        v = np.array([np.var(pts @ o, ddof=1) for o in (o1, o2, o3)])
+        if pts.shape[0] >= 2:
+            v = np.array([np.var(pts @ o, ddof=1) for o in (o1, o2, o3)])
+        else:
+            v = np.zeros(3)
         masks.append(m.astype(np.float32))
         orients.append(np.stack([o1, o2, o3]))
         bounds.append(np.stack([v + VAR_THRESHOLD, v - VAR_THRESHOLD]))
         smooth_prev.append(region_smoothness_np(pts, mode))
+        usable.append(pts.shape[0] >= 2 and np.all(np.isfinite(v)))
 
     data_j = jnp.asarray(data_copy)
     orig_j = jnp.asarray(orig)
@@ -294,7 +320,7 @@ def test_all_region(engine, data: np.ndarray, lbl: int, orders: np.ndarray,
     orients_j = jnp.asarray(np.stack(orients), jnp.float32)
     bounds_j = jnp.asarray(np.stack(bounds), jnp.float32)
     smooth_j = jnp.asarray(np.array(smooth_prev), jnp.float32)
-    active_j = jnp.ones((R,), bool)
+    active_j = jnp.asarray(np.array(usable, dtype=bool))
 
     smoothness_list, data_list, sv_list, logits_list = [], [], [], []
     for epoch in range(max_epochs):

@@ -66,6 +66,9 @@ def main():
     p.add_argument("--num_samples", type=int, default=None)
     p.add_argument("--label", default="(unlabelled run)")
     p.add_argument("--out", default="RESULTS.md")
+    p.add_argument("--append", action="store_true",
+                   help="append a new run section to --out instead of "
+                        "overwriting")
     args = p.parse_args()
 
     from interpret_quality_tpu.config import ExperimentConfig
@@ -178,9 +181,12 @@ def main():
     w(f"Artifact tree: `{cfg.exp_folder}` (reference final_result.py-"
       "compatible schema).")
     w("")
-    with open(args.out, "w") as f:
+    mode = "a" if args.append else "w"
+    with open(args.out, mode) as f:
+        if args.append:
+            f.write("\n\n---\n\n")
         f.write("\n".join(lines))
-    print(f"wrote {args.out} ({len(lines)} lines)")
+    print(f"wrote {args.out} ({len(lines)} lines, mode={mode})")
 
 
 if __name__ == "__main__":
