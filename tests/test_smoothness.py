@@ -128,3 +128,48 @@ def test_batched_epoch_matches_sequential():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(out_active),
                                   np.array(seq_active))
+
+
+def test_degenerate_regions_do_not_nan():
+    """Single-point regions (possible at toy scales) must neither crash the
+    host PCA (eigh on a NaN covariance) nor poison the batched epoch loop."""
+    from interpret_quality_tpu.attrib.smoothness import (
+        ENUM_STEP, VAR_THRESHOLD, smoothness_epoch_all_regions)
+
+    one = np.array([[0.3, -0.1, 0.2]], np.float32)
+    o1, o2, o3 = principal_orientations(one)
+    assert np.allclose(np.stack([o1, o2, o3]), np.eye(3))
+    assert region_smoothness_np(one, "linearity") == 0.0
+    assert region_smoothness_np(one, "scattering") == 0.0
+
+    # batched epoch: region 0 real, region 1 a single point (inactive)
+    rng = np.random.RandomState(3)
+    pts = rng.randn(33, 3).astype(np.float32) * 0.2
+    region_id = np.zeros(33, np.int64)
+    region_id[-1] = 1
+    orig = pts.copy()
+    masks, orients, bounds, smooth_prev, usable = [], [], [], [], []
+    for r in range(2):
+        m = region_id == r
+        p = orig[m]
+        o = np.stack(principal_orientations(p))
+        v = (np.array([np.var(p @ oo, ddof=1) for oo in o])
+             if p.shape[0] >= 2 else np.zeros(3))
+        masks.append(m.astype(np.float32))
+        orients.append(o.astype(np.float32))
+        bounds.append(np.stack([v + VAR_THRESHOLD,
+                                v - VAR_THRESHOLD]).astype(np.float32))
+        smooth_prev.append(region_smoothness_np(p, "linearity"))
+        usable.append(p.shape[0] >= 2)
+
+    sm = jnp.asarray(np.array(smooth_prev), jnp.float32)
+    out_data, out_smooth, out_active = smoothness_epoch_all_regions(
+        jnp.asarray(pts), jnp.asarray(orig), jnp.asarray(np.stack(masks)),
+        jnp.asarray(np.stack(orients)), jnp.asarray(np.stack(bounds)),
+        sm, jnp.asarray(np.array(usable)), sm + ENUM_STEP,
+        "linearity", "inc")
+    assert np.all(np.isfinite(np.asarray(out_data)))
+    assert np.all(np.isfinite(np.asarray(out_smooth)))
+    # the degenerate region never moves and stays inactive
+    np.testing.assert_array_equal(np.asarray(out_data)[-1], orig[-1])
+    assert not bool(np.asarray(out_active)[1])
