@@ -234,11 +234,18 @@ class InteractionEngine:
     """Batched 4-row masked forwards for (pair, context) grids.
 
     All (pair, context) quadruples of a ratio are flattened into one work
-    list and chunked into fixed-shape device steps, so the number of host
-    round trips is ~(pairs * contexts / batch) instead of one per pair
-    (reference final_point_binary_interaction_logits.py:15-70 loops pairs).
-    Device->host transfers are deferred to the end so dispatch runs ahead.
+    list, chunked into fixed-shape steps, and executed by a single
+    `lax.scan` device call per ratio (reference
+    final_point_binary_interaction_logits.py:15-70 loops pairs with one
+    host-synced forward per context batch).  One keep-mask upload, one
+    dispatch, and one logits fetch per ratio — host round trips through
+    the TPU tunnel cost ~0.2 s each and otherwise dominate the stage.
     """
+
+    # scan-length buckets (~1.3x spacing): each distinct length compiles
+    # once (disk-cached); padding waste stays below ~25%.
+    _T_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 80, 96, 128,
+                  160, 192, 256)
 
     def __init__(self, forward_fn, num_regions: int, batch_contexts: int = 100,
                  coalition_sharding=None):
@@ -255,6 +262,7 @@ class InteractionEngine:
             self._apply = lambda _vars, x: forward_fn(x)
             self._variables = None
         self._step = jax.jit(self._step_impl)
+        self._scan = jax.jit(self._scan_impl)
 
     def _step_impl(self, variables, data, keep_rows, region_id):
         """keep_rows: (M, 4, R) region-level keep masks."""
@@ -264,6 +272,27 @@ class InteractionEngine:
             masked = jax.lax.with_sharding_constraint(
                 masked, self.coalition_sharding)
         return self._apply(variables, masked)            # (M*4, num_class)
+
+    def _scan_impl(self, variables, data, keep_steps, region_id):
+        """All chunks of one ratio in a single device call.
+
+        Fresh host->device uploads through the TPU tunnel block the host for
+        a full round trip (~0.2 s) each; the per-chunk `_step` loop paid that
+        price per chunk and ran the engine at ~7k fwd/s while the enum path
+        (one cached upload, 26k-row steps) sustains ~105k.  One upload + one
+        `lax.scan` dispatch + one fetch makes the stage compute-bound again.
+
+        Args:
+          keep_steps: (T, bs, 4, R) bool; zero-padded tail rows are dropped
+            by the caller.
+        Returns:
+          (T, bs*4, num_class) logits.
+        """
+        def body(_, keep):
+            return None, self._step_impl(variables, data, keep, region_id)
+
+        _, logits = jax.lax.scan(body, None, keep_steps)
+        return logits
 
     def _keep_rows_np(self, region_pair_list, context_list) -> np.ndarray:
         """(P*C, 4, R) bool keep masks for every (pair, context), in the
@@ -296,20 +325,20 @@ class InteractionEngine:
         keep_all = self._keep_rows_np(region_pair_list, context_list)
         M = keep_all.shape[0]
         bs = self.batch_contexts
-        chunks = []
-        for s in range(0, M, bs):
-            keep = keep_all[s:s + bs]
-            c = keep.shape[0]
-            if c < bs:  # pad to the compiled shape, drop afterwards
-                keep = np.concatenate(
-                    [keep, np.zeros((bs - c, 4, self.num_regions), bool)])
-            logits = self._step(self._variables, data, jnp.asarray(keep),
-                                region_id_j)
-            chunks.append((logits, c))
-        for lg, _ in chunks:                     # overlap the transfers
-            lg.copy_to_host_async()
-        flat = np.concatenate(
-            [np.asarray(lg).reshape(bs, 4, -1)[:c] for lg, c in chunks], axis=0)
+        T = -(-M // bs)
+        T_pad = next((b for b in self._T_BUCKETS if b >= T), None)
+        if T_pad is None:   # beyond the bucket table: round up to bucket*2^k
+            T_pad = self._T_BUCKETS[-1]
+            while T_pad < T:
+                T_pad *= 2
+        pad = T_pad * bs - M
+        if pad:             # all-False rows forward the all-centre cloud;
+            keep_all = np.concatenate(      # their logits are sliced off
+                [keep_all, np.zeros((pad, 4, self.num_regions), bool)])
+        keep_steps = jnp.asarray(
+            keep_all.reshape(T_pad, bs, 4, self.num_regions))  # ONE upload
+        logits = self._scan(self._variables, data, keep_steps, region_id_j)
+        flat = np.asarray(logits).reshape(T_pad * bs, 4, -1)[:M]
         return flat.reshape(num_pairs, 4 * num_context, -1)
 
 

@@ -105,6 +105,7 @@ class ShapleyEngine:
             self._variables = None
         self._step = jax.jit(self._step_impl)
         self._step_poses = jax.jit(self._step_poses_impl)
+        self._scan_orders = jax.jit(self._scan_orders_impl)
         self._keep_cache = {}
 
     def _keep_for(self, chunk: np.ndarray):
@@ -139,6 +140,29 @@ class ShapleyEngine:
         pos = jnp.argsort(orders, axis=1)
         dv_by_region = jnp.take_along_axis(dv, pos, axis=1)   # (O, R)
         return jnp.sum(dv_by_region, axis=0), dv_by_region, logits
+
+    def _scan_orders_impl(self, variables, data, keep_steps, orders_steps,
+                          region_id, label):
+        """All order chunks of one cloud in a single device call.
+
+        Each fresh keep-matrix upload through the TPU tunnel blocks the host
+        ~0.2 s; the per-chunk loop in `shapley_for_pose` pays that once per
+        chunk (Shapley init: 10 chunks x 30 clouds).  One upload + one scan
+        keeps the stage compute-bound.
+
+        Args:
+          keep_steps: (T, O, R+1, R); orders_steps: (T, O, R).
+        Returns:
+          (sv_sum (R,), dv_by_region (T, O, R), logits (T, O*(R+1), C)).
+        """
+        def body(acc, xs):
+            keep, orders = xs
+            sv, dv, logits = self._step_impl(variables, data, keep, orders,
+                                             region_id, label)
+            return acc + sv, (dv, logits)
+
+        acc0 = jnp.zeros((self.num_regions,), jnp.float32)
+        return jax.lax.scan(body, acc0, (keep_steps, orders_steps))
 
     def _step_poses_impl(self, variables, data_batch, keep, orders, region_id,
                          label):
@@ -240,6 +264,30 @@ class ShapleyEngine:
         data = jnp.asarray(data)
         region_id = jnp.asarray(region_id)
         label = jnp.asarray(label)
+
+        T = S // bs
+        if T > 1 and S % bs == 0 and not any(
+                orders[s:s + bs].tobytes() in self._keep_cache
+                for s in range(0, S, bs)):
+            # multi-chunk, nothing cached (Shapley init: fresh 1000-order
+            # sets per cloud): one keep upload + one scan dispatch instead
+            # of one blocking upload per chunk.
+            keep_steps = np.stack(
+                [keep_matrix_from_orders(orders[s:s + bs])
+                 for s in range(0, S, bs)])                  # (T, O, R+1, R)
+            sv_sum, (dv_all, logits_all) = self._scan_orders(
+                self._variables, data, jnp.asarray(keep_steps),
+                jnp.asarray(orders.reshape(T, bs, -1)), region_id, label)
+            for c in (dv_all, logits_all):
+                c.copy_to_host_async()
+            region_shap_value = np.asarray(sv_sum, dtype=np.float64) / S
+            out = [region_shap_value]
+            if return_logits:
+                out.append(np.asarray(logits_all).reshape(
+                    S * (self.num_regions + 1), -1))
+            if return_per_order:
+                out.append(np.asarray(dv_all).reshape(S, self.num_regions))
+            return tuple(out) if len(out) > 1 else out[0]
 
         sv_sum = None
         logits_chunks = []

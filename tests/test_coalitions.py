@@ -224,3 +224,32 @@ def test_ragged_order_chunking_matches_single_chunk():
     svp2, lg2 = e_single.shapley_for_poses(poses, 1, region_id, orders)
     np.testing.assert_allclose(svp1, svp2, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(lg1, lg2, rtol=1e-4, atol=1e-5)
+
+
+def test_scanned_order_chunking_matches_single_chunk():
+    """Exact-multiple chunking (Shapley init: 1000 orders / bs) takes the
+    single-dispatch scan path; results must match the one-chunk oracle,
+    including per-order marginals and logits row order."""
+    import jax
+    from interpret_quality_tpu.attrib import ShapleyEngine
+    from interpret_quality_tpu.models import (build_model, init_model,
+                                              make_forward_fn)
+
+    rng = np.random.RandomState(1)
+    model = build_model("pointnet", num_classes=10)
+    variables = init_model(model, jax.random.PRNGKey(0), num_points=64)
+    fwd = make_forward_fn(model, variables)
+    cloud = rng.randn(64, 3).astype(np.float32)
+    region_id = rng.randint(0, 32, 64)
+    region_id[:32] = np.arange(32)
+    orders = np.stack([rng.permutation(32) for _ in range(12)])
+
+    e_scan = ShapleyEngine(fwd, 32, "modified", batch_orders=4)
+    e_single = ShapleyEngine(fwd, 32, "modified", batch_orders=12)
+    sv1, lg1, dv1 = e_scan.shapley_for_pose(
+        cloud, 1, region_id, orders, return_logits=True, return_per_order=True)
+    sv2, lg2, dv2 = e_single.shapley_for_pose(
+        cloud, 1, region_id, orders, return_logits=True, return_per_order=True)
+    np.testing.assert_allclose(sv1, sv2, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(lg1, lg2, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(dv1, dv2, rtol=1e-4, atol=1e-6)

@@ -98,3 +98,24 @@ def test_gen_context_shapes_and_bounds():
     for p in range(10):
         for ctx in c10[p]:
             assert pairs[p, 0] not in ctx and pairs[p, 1] not in ctx
+
+
+def test_multi_chunk_scan_matches_single_step():
+    """M spanning several scan steps (with bucket padding) must reproduce
+    the single-step result bit-for-bit after the padded rows are dropped."""
+    R = 8
+    rng = np.random.RandomState(5)
+    region_id = np.repeat(np.arange(R), 8)
+    data = rng.randn(R * 8, 3).astype(np.float32)
+    center = data.mean(axis=0)
+    fwd = _pairwise_forward(region_id, R, center, 0.7, (1, 4))
+    pairs = np.array([[i, j] for i in range(R) for j in range(i + 1, R)])[:5]
+    ctx = np.stack([np.stack([rng.choice(
+        [r for r in range(R) if r not in p], 2, replace=False)
+        for _ in range(7)]) for p in pairs])               # (5, 7, 2)
+
+    small = InteractionEngine(fwd, R, batch_contexts=4)    # T=9 -> bucket 12
+    big = InteractionEngine(fwd, R, batch_contexts=64)     # T=1
+    lg1 = small.logits_for_pairs(data, region_id, pairs, ctx)
+    lg2 = big.logits_for_pairs(data, region_id, pairs, ctx)
+    np.testing.assert_allclose(lg1, lg2, rtol=1e-5, atol=1e-6)
