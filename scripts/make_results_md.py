@@ -151,8 +151,11 @@ def main():
     w("")
 
     try:
+        # interactions only run on the selected-sample subset; scanning all
+        # 30 eval samples would hit missing artifacts
         mean_n, _, mean_a, _ = get_interaction_normal_adv_pose(
-            cfg, "rotate", names, "pred", sample_indices=sel)
+            cfg, "rotate", names, "pred",
+            sample_indices=None if args.samples is None else sel)
         w("## Interactions — mean |I^(m)| by context ratio (normal vs "
           "rotation-adversarial pose)")
         w("")
