@@ -1,0 +1,49 @@
+#!/bin/bash
+# Round-2 chip-work queue: wait for the in-flight dgcnn suite, then train +
+# run the full results suite for the remaining model families, appending each
+# to RESULTS.md as it lands.  Serialized so only one process owns the TPU.
+#
+# Usage: scripts/r2_chaser.sh [WAIT_PID]
+cd "$(dirname "$0")/.."
+WAIT_PID=${1:-}
+SAMPLES=0,3,6
+LABEL="TPU v5e-1 (axon), synthetic ModelNet-like set, trained ckpt"
+
+if [ -n "$WAIT_PID" ]; then
+  echo "[chaser] waiting for pid $WAIT_PID"
+  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 60; done
+fi
+
+append_and_commit() {  # $1 = model
+  python scripts/make_results_md.py --model "$1" --synthetic \
+    --samples "$SAMPLES" --label "$LABEL" --append --out RESULTS.md \
+    && git add RESULTS.md \
+    && git commit -m "RESULTS.md: production-scale $1 suite on TPU
+
+No-Verification-Needed: generated results/doc-only append" || true
+}
+
+# 1) dgcnn suite just finished (or was already done) — collect it.
+append_and_commit dgcnn
+
+# 2) remaining normally-trained families
+for M in gcnn pointnet2 pointconv; do
+  echo "[chaser] ==== $M ===="
+  python -u -m interpret_quality_tpu.cli.train --model "$M" --synthetic \
+    --epochs 15 > "/tmp/${M}_train.log" 2>&1 || { echo "[chaser] $M train FAILED"; continue; }
+  bash scripts/run_results_suite.sh "$M" --synthetic --samples "$SAMPLES" \
+    > "/tmp/tpu_suite_${M}.log" 2>&1 || { echo "[chaser] $M suite FAILED"; continue; }
+  append_and_commit "$M"
+done
+
+# 3) adv-GCNN: BIM fine-tune from the gcnn checkpoint, then its suite
+GCKPT=checkpoints/exp_MODEL_gcnn_DATA_modelnet10_POINTNUM_1024_clean/models/model_best.msgpack
+if [ -f "$GCKPT" ]; then
+  echo "[chaser] ==== gcnn_adv ===="
+  python -u -m interpret_quality_tpu.cli.train_adv --synthetic --epochs 8 \
+    --resume_path "$GCKPT" > /tmp/gcnn_adv_train.log 2>&1 \
+    && bash scripts/run_results_suite.sh gcnn_adv --synthetic --samples "$SAMPLES" \
+         > /tmp/tpu_suite_gcnn_adv.log 2>&1 \
+    && append_and_commit gcnn_adv
+fi
+echo "[chaser] ALL DONE"
