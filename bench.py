@@ -120,6 +120,10 @@ def bench_enum_stage(name: str, num_points: int, max_poses: int) -> dict:
                                    checkpoints_root=tmp + "/ckpt")
             run_shapley_init(cfg, synthetic=True, allow_random_init=True,
                              sample_indices=[0])
+            # warmup: compile the pose-step + orig-sv programs outside the
+            # timed window so cold-cache runs stay comparable to warm ones
+            run_enum(cfg, "trans", synthetic=True, allow_random_init=True,
+                     sample_indices=[0], max_poses=max_poses)
             t0 = _time.perf_counter()
             run_enum(cfg, "trans", synthetic=True, allow_random_init=True,
                      sample_indices=[0], max_poses=max_poses)

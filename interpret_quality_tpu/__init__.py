@@ -67,6 +67,8 @@ def _select_platform():
     spec = os.environ.get("IQTPU_PLATFORM")
     if not spec:
         return
+    import warnings
+
     try:
         import jax
 
@@ -74,8 +76,8 @@ def _select_platform():
         jax.config.update("jax_platforms", platform)
         if n:
             jax.config.update("jax_num_cpu_devices", int(n))
-    except Exception:
-        pass
+    except Exception as e:   # a half-applied override must not be silent
+        warnings.warn(f"IQTPU_PLATFORM={spec!r} not applied: {e!r}")
 
 
 _enable_compile_cache()

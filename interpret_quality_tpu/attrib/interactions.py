@@ -327,10 +327,10 @@ class InteractionEngine:
         bs = self.batch_contexts
         T = -(-M // bs)
         T_pad = next((b for b in self._T_BUCKETS if b >= T), None)
-        if T_pad is None:   # beyond the bucket table: round up to bucket*2^k
-            T_pad = self._T_BUCKETS[-1]
+        if T_pad is None:   # beyond the table: keep the ~1.3x spacing
+            T_pad = self._T_BUCKETS[-1]   # (waste stays <25%, vs 2x jumps)
             while T_pad < T:
-                T_pad *= 2
+                T_pad = (T_pad * 5 // 4 + 31) // 32 * 32
         pad = T_pad * bs - M
         if pad:             # all-False rows forward the all-centre cloud;
             keep_all = np.concatenate(      # their logits are sliced off

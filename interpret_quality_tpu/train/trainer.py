@@ -51,23 +51,39 @@ def prefetch(iterator, depth: int = 2):
     device compute)."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     _done = object()
+    stop = threading.Event()     # set when the consumer abandons the
+                                 # generator, so the producer never blocks
+                                 # forever on a full queue (thread leak)
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def produce():
         try:
             for item in iterator:
-                q.put((None, item))
-            q.put((_done, None))
+                if not _put((None, item)):
+                    return
+            _put((_done, None))
         except BaseException as e:           # re-raised on the consumer side
-            q.put((e, None))
+            _put((e, None))
 
     threading.Thread(target=produce, daemon=True).start()
-    while True:
-        err, item = q.get()
-        if err is _done:
-            return
-        if err is not None:
-            raise err
-        yield item
+    try:
+        while True:
+            err, item = q.get()
+            if err is _done:
+                return
+            if err is not None:
+                raise err
+            yield item
+    finally:
+        stop.set()
 
 
 @flax.struct.dataclass

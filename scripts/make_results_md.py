@@ -99,8 +99,10 @@ def main():
       f"{len(names)}; {cfg.num_samples} orders per pose estimate.")
     w("")
 
-    tl = parse_train_log(f"{cfg.checkpoints_root}/{cfg.train_exp_name}"
-                         "/run.log")
+    # run.log lives next to models/ in the training exp dir; deriving it from
+    # the checkpoint path also covers gcnn_adv's _with_all_rot_da folder.
+    tl = parse_train_log(os.path.join(
+        os.path.dirname(os.path.dirname(cfg.default_model_path())), "run.log"))
     if tl and tl["best"]:
         w("## Training")
         w("")
@@ -153,18 +155,20 @@ def main():
     try:
         # interactions only run on the selected-sample subset; scanning all
         # 30 eval samples would hit missing artifacts
-        mean_n, _, mean_a, _ = get_interaction_normal_adv_pose(
+        # Figure-5 semantics: |E_S[I^(m)]| per pair, averaged over pairs
+        # (reference plot_interaction.py:24-56) — the abs_* returns.
+        _, abs_n, _, abs_a = get_interaction_normal_adv_pose(
             cfg, "rotate", names, "pred",
             sample_indices=None if args.samples is None else sel)
-        w("## Interactions — mean |I^(m)| by context ratio (normal vs "
-          "rotation-adversarial pose)")
+        w("## Interactions — mean over pairs of |E_S I^(m)| by context "
+          "ratio (normal vs rotation-adversarial pose)")
         w("")
         w("| ratio | normal | adv |")
         w("|---|---|---|")
         from interpret_quality_tpu.attrib.interactions import RATIOS
         for i, r in enumerate(RATIOS):
-            w(f"| {r:.2f} | {np.abs(mean_n).mean(0)[i]:.4f} | "
-              f"{np.abs(mean_a).mean(0)[i]:.4f} |")
+            w(f"| {r:.2f} | {abs_n.mean(0)[i]:.4f} | "
+              f"{abs_a.mean(0)[i]:.4f} |")
         w("")
     except (FileNotFoundError, IndexError) as e:
         w(f"(interaction artifacts incomplete: {e})")

@@ -36,14 +36,17 @@ for M in gcnn pointnet2 pointconv; do
   append_and_commit "$M"
 done
 
-# 3) adv-GCNN: BIM fine-tune from the gcnn checkpoint, then its suite
+# 3) adv-GCNN: BIM fine-tune from the gcnn checkpoint, then its suite.
+# The default gcnn_adv checkpoint path is model_399 (reference epoch-399
+# contract); our short synthetic run saves model_best, so point the suite at it.
 GCKPT=checkpoints/exp_MODEL_gcnn_DATA_modelnet10_POINTNUM_1024_clean/models/model_best.msgpack
+ACKPT=checkpoints/exp_MODEL_gcnn_adv_DATA_modelnet10_POINTNUM_1024_clean_with_all_rot_da/models/model_best.msgpack
 if [ -f "$GCKPT" ]; then
   echo "[chaser] ==== gcnn_adv ===="
   python -u -m interpret_quality_tpu.cli.train_adv --synthetic --epochs 8 \
     --resume_path "$GCKPT" > /tmp/gcnn_adv_train.log 2>&1 \
     && bash scripts/run_results_suite.sh gcnn_adv --synthetic --samples "$SAMPLES" \
-         > /tmp/tpu_suite_gcnn_adv.log 2>&1 \
+         --model_path "$ACKPT" > /tmp/tpu_suite_gcnn_adv.log 2>&1 \
     && append_and_commit gcnn_adv
 fi
 echo "[chaser] ALL DONE"
