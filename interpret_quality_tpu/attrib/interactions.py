@@ -247,6 +247,19 @@ class InteractionEngine:
     _T_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 80, 96, 128,
                   160, 192, 256)
 
+    @classmethod
+    def _scan_length(cls, T: int) -> int:
+        """Padded scan length for T worklist chunks: the next table bucket,
+        or (past the table) a continued 1.25x progression — never a 2x
+        jump, so padding waste stays below ~25% (the scan length is a step
+        count, not a lane dimension: no alignment needed)."""
+        T_pad = next((b for b in cls._T_BUCKETS if b >= T), None)
+        if T_pad is None:
+            T_pad = cls._T_BUCKETS[-1]
+            while T_pad < T:
+                T_pad = -(-T_pad * 5 // 4)
+        return T_pad
+
     def __init__(self, forward_fn, num_regions: int, batch_contexts: int = 100,
                  coalition_sharding=None):
         self.forward_fn = forward_fn
@@ -326,11 +339,7 @@ class InteractionEngine:
         M = keep_all.shape[0]
         bs = self.batch_contexts
         T = -(-M // bs)
-        T_pad = next((b for b in self._T_BUCKETS if b >= T), None)
-        if T_pad is None:   # beyond the table: keep the ~1.3x spacing
-            T_pad = self._T_BUCKETS[-1]   # (waste stays <25%, vs 2x jumps)
-            while T_pad < T:
-                T_pad = (T_pad * 5 // 4 + 31) // 32 * 32
+        T_pad = self._scan_length(T)
         pad = T_pad * bs - M
         if pad:             # all-False rows forward the all-centre cloud;
             keep_all = np.concatenate(      # their logits are sliced off

@@ -253,3 +253,11 @@ def test_scanned_order_chunking_matches_single_chunk():
     np.testing.assert_allclose(sv1, sv2, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(lg1, lg2, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(dv1, dv2, rtol=1e-4, atol=1e-6)
+
+    # repeated calls with the SAME order set (smoothness: one Shapley pass
+    # per epoch) must reuse the cached device inputs — one entry, no
+    # rebuild — and stay on the scan path with identical results
+    assert len(e_scan._scan_cache) == 1
+    sv3 = e_scan.shapley_for_pose(cloud, 1, region_id, orders)
+    assert len(e_scan._scan_cache) == 1
+    np.testing.assert_allclose(sv3, sv1, rtol=1e-6, atol=1e-8)

@@ -119,3 +119,21 @@ def test_multi_chunk_scan_matches_single_step():
     lg1 = small.logits_for_pairs(data, region_id, pairs, ctx)
     lg2 = big.logits_for_pairs(data, region_id, pairs, ctx)
     np.testing.assert_allclose(lg1, lg2, rtol=1e-5, atol=1e-6)
+
+
+def test_scan_length_bucket_progression():
+    """Padded scan lengths: exact table hits below 256, and a continued
+    ~1.3x progression past the table — never a 2x jump, waste < 25%."""
+    for T in [1, 2, 3, 5, 100, 256]:
+        T_pad = InteractionEngine._scan_length(T)
+        assert T_pad >= T and T_pad in InteractionEngine._T_BUCKETS
+    for T in [257, 300, 321, 500, 1000, 5000]:
+        T_pad = InteractionEngine._scan_length(T)
+        assert T_pad >= T
+        assert T_pad / T <= 1.25 + 1e-9, (T, T_pad)
+    # progression is monotone and ~1.25x-spaced (no doubling; ceil can
+    # push one step to 1.2512x)
+    lengths = sorted({InteractionEngine._scan_length(T)
+                      for T in range(257, 2000)})
+    for a, b in zip(lengths, lengths[1:]):
+        assert b / a <= 1.26, (a, b)

@@ -142,3 +142,25 @@ def test_train_adv_cli_resume(tmp_path, monkeypatch):
            "exp_MODEL_gcnn_adv_DATA_modelnet10_POINTNUM_32_clean_with_all_rot_da")
     assert os.path.exists(exp / "run.log")
     assert any(f.endswith(".backup") for f in os.listdir(exp))
+
+
+def test_prefetch_producer_exits_when_consumer_abandons():
+    """Abandoning the prefetch generator mid-epoch (train_step raising)
+    must release the producer thread instead of leaving it blocked on the
+    bounded queue forever."""
+    import threading
+    import time
+
+    from interpret_quality_tpu.train.trainer import prefetch
+
+    before = threading.active_count()
+    gen = prefetch(iter(range(1000)), depth=2)
+    assert next(gen) == 0
+    gen.close()                      # consumer dies / raises
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() == before
+
+    # normal exhaustion still yields everything in order
+    assert list(prefetch(iter(range(7)), depth=2)) == list(range(7))
