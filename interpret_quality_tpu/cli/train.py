@@ -18,6 +18,9 @@ def main():
                    help="synthetic-set size (only with --synthetic)")
     p.add_argument("--test_samples", type=int, default=128,
                    help="synthetic eval-set size (only with --synthetic)")
+    p.add_argument("--best_acc_gate", type=float, default=0.80,
+                   help="min test acc before model_best is written "
+                        "(reference main_cls_seed.py:108); 0 = always save")
     args = p.parse_args()
     cfg = config_from_args(args)
 
@@ -78,7 +81,7 @@ def main():
     fit(model, variables, cfg.model, train_ds, test_ds,
         batch_size=args.batch_size, test_batch_size=args.test_batch_size,
         epochs=args.epochs, exp_dir=exp_dir, io=io, seed=cfg.seed,
-        base_lr=args.lr)
+        best_acc_gate=args.best_acc_gate, base_lr=args.lr)
 
 
 if __name__ == "__main__":

@@ -16,6 +16,9 @@ def main():
                    help="checkpoint to resume from (reference resumes GCNN "
                         "at epoch 100, main_cls_adv.py:66,328-329)")
     p.add_argument("--train_rot_all_perturbation", action="store_true")
+    p.add_argument("--best_acc_gate", type=float, default=0.80,
+                   help="min test acc before model_best is written; "
+                        "0 = always save")
     args = p.parse_args()
     args.model = "gcnn"
     cfg = config_from_args(args)
@@ -74,7 +77,8 @@ def main():
                     batch_size=args.batch_size,
                     test_batch_size=args.test_batch_size,
                     epochs=args.epochs, exp_dir=exp_dir, io=io,
-                    seed=cfg.seed, base_lr=args.lr)
+                    seed=cfg.seed, best_acc_gate=args.best_acc_gate,
+                    base_lr=args.lr)
 
 
 if __name__ == "__main__":

@@ -23,14 +23,15 @@ append_and_commit() {  # $1 = model
 No-Verification-Needed: generated results/doc-only append" || true
 }
 
-# 1) dgcnn suite just finished (or was already done) — collect it.
-append_and_commit dgcnn
+# 1) collect whatever suite the waited-on pid was running (pass model as $2).
+if [ -n "$2" ]; then append_and_commit "$2"; fi
 
-# 2) remaining normally-trained families
-for M in gcnn pointnet2 pointconv; do
+# 2) remaining normally-trained families (MODELS env var overrides)
+for M in ${MODELS:-pointnet2 pointconv}; do
   echo "[chaser] ==== $M ===="
   python -u -m interpret_quality_tpu.cli.train --model "$M" --synthetic \
-    --epochs 15 > "/tmp/${M}_train.log" 2>&1 || { echo "[chaser] $M train FAILED"; continue; }
+    --epochs 15 --best_acc_gate 0 > "/tmp/${M}_train.log" 2>&1 \
+    || { echo "[chaser] $M train FAILED"; continue; }
   bash scripts/run_results_suite.sh "$M" --synthetic --samples "$SAMPLES" \
     > "/tmp/tpu_suite_${M}.log" 2>&1 || { echo "[chaser] $M suite FAILED"; continue; }
   append_and_commit "$M"
@@ -44,7 +45,7 @@ ACKPT=checkpoints/exp_MODEL_gcnn_adv_DATA_modelnet10_POINTNUM_1024_clean_with_al
 if [ -f "$GCKPT" ]; then
   echo "[chaser] ==== gcnn_adv ===="
   python -u -m interpret_quality_tpu.cli.train_adv --synthetic --epochs 8 \
-    --resume_path "$GCKPT" > /tmp/gcnn_adv_train.log 2>&1 \
+    --best_acc_gate 0 --resume_path "$GCKPT" > /tmp/gcnn_adv_train.log 2>&1 \
     && bash scripts/run_results_suite.sh gcnn_adv --synthetic --samples "$SAMPLES" \
          --model_path "$ACKPT" > /tmp/tpu_suite_gcnn_adv.log 2>&1 \
     && append_and_commit gcnn_adv
