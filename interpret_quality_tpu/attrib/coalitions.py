@@ -104,6 +104,20 @@ def masked_interaction_batch(data: jnp.ndarray, center: jnp.ndarray,
     return masked.reshape(C * 4, N, 3)
 
 
+def marginals_by_region(dv: jnp.ndarray, orders: jnp.ndarray) -> jnp.ndarray:
+    """Reorder per-position marginals into per-region columns.
+
+    Args:
+      dv: (..., O, R) marginal contributions; dv[..., o, r] belongs to
+        region orders[o, r].
+      orders: (O, R) permutations.
+    Returns:
+      (..., O, R) with column j holding region j's marginal.
+    """
+    pos = jnp.argsort(orders, axis=1)          # (O, R): rank of region j
+    return jnp.take_along_axis(dv, jnp.broadcast_to(pos, dv.shape), axis=-1)
+
+
 def scatter_marginals(dv: jnp.ndarray, orders: jnp.ndarray) -> jnp.ndarray:
     """Accumulate per-row marginals into per-region Shapley sums.
 
@@ -114,6 +128,4 @@ def scatter_marginals(dv: jnp.ndarray, orders: jnp.ndarray) -> jnp.ndarray:
     Returns:
       (R,) summed (not averaged) contributions per region.
     """
-    pos = jnp.argsort(orders, axis=1)                      # (O, R): rank of region j
-    dv_by_region = jnp.take_along_axis(dv, pos, axis=1)    # (O, R): dv for region j
-    return jnp.sum(dv_by_region, axis=0)
+    return jnp.sum(marginals_by_region(dv, orders), axis=0)

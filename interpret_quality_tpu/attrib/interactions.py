@@ -136,10 +136,9 @@ def run_gen_pair(cfg: ExperimentConfig, mode_name: str = "rotate",
 
         # ---- adversarial pose: argmin reward over the enumeration grid
         #      (reference final_gen_pair.py:221-286)
-        if mode_name == "trans":
-            all_params = np.load(mode_folder + "trans_vector.npy")
-        else:
-            all_params = np.load(mode_folder + "angle_tuple.npy")
+        params_file = {"trans": "trans_vector.npy",
+                       "scale": "scale.npy"}.get(mode_name, "angle_tuple.npy")
+        all_params = np.load(mode_folder + params_file)
         all_disturb = disturb_batch(jnp.asarray(data), jnp.asarray(all_params))
         logits = fwd(all_disturb)                                 # (P, C)
         pred = np.asarray(jnp.argmax(logits, axis=1))

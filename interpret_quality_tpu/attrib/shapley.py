@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .coalitions import keep_matrix_from_orders, masked_coalitions
+from .coalitions import (keep_matrix_from_orders, marginals_by_region,
+                         masked_coalitions)
 from .reward import reward_from_logits
 
 
@@ -138,8 +139,7 @@ class ShapleyEngine:
         v = reward_from_logits(logits, label, self.softmax_type)
         v = v.reshape(keep.shape[0], self.num_regions + 1)
         dv = v[:, 1:] - v[:, :-1]                             # (O, R)
-        pos = jnp.argsort(orders, axis=1)
-        dv_by_region = jnp.take_along_axis(dv, pos, axis=1)   # (O, R)
+        dv_by_region = marginals_by_region(dv, orders)        # (O, R)
         return jnp.sum(dv_by_region, axis=0), dv_by_region, logits
 
     def _scan_orders_impl(self, variables, data, keep_steps, orders_steps,
@@ -187,9 +187,7 @@ class ShapleyEngine:
         v = reward_from_logits(logits, label, self.softmax_type)
         v = v.reshape(P, O, self.num_regions + 1)
         dv = v[:, :, 1:] - v[:, :, :-1]                   # (P, O, R)
-        pos = jnp.argsort(orders, axis=1)                 # (O, R)
-        dv_by_region = jnp.take_along_axis(
-            dv, jnp.broadcast_to(pos, dv.shape), axis=2)  # (P, O, R)
+        dv_by_region = marginals_by_region(dv, orders)    # (P, O, R)
         sv = jnp.sum(dv_by_region, axis=1)                # (P, R)
         return sv, logits.reshape(P, O * (self.num_regions + 1), -1)
 
@@ -343,6 +341,8 @@ def norm_factor(forward_fn: Callable, data: jnp.ndarray, label,
     variables = getattr(forward_fn, "variables", None)
     if apply_fn is None:
         apply_fn = lambda _vars, x: forward_fn(x)   # noqa: E731
+    if len(_NORM_JITS) > 24:    # bound the cache: each model pins a device
+        _NORM_JITS.clear()      # copy of its params via the "vars" entry
     cached = _NORM_JITS.get(("vars", id(forward_fn)))
     if variables is not None:
         if cached is None:

@@ -109,11 +109,13 @@ def query_ball_point(radius: float, nsample: int,
     group_idx = jnp.where(sqrdists > radius ** 2, N, arange)      # (B, S, N)
     group_idx = jnp.sort(group_idx, axis=-1)[..., :nsample]       # (B, S, K)
     group_first = group_idx[..., :1]                              # (B, S, 1)
+    # Empty ball (even the first slot is N): fill with index 0 as documented.
+    # The reference would gather row N out-of-bounds in that case, which never
+    # occurs in practice because every centre is itself a point of the cloud;
+    # the fused Pallas path yields zero features for such slots instead.
+    group_first = jnp.where(group_first == N, 0, group_first)
     group_idx = jnp.where(group_idx == N, group_first, group_idx)
-    # If even the first slot is N (empty ball) clamp to 0 to keep gathers safe;
-    # the reference would gather row N out-of-bounds in that case, which never
-    # occurs in practice because every centre is itself a point of the cloud.
-    return jnp.minimum(group_idx, N - 1).astype(jnp.int32)
+    return group_idx.astype(jnp.int32)
 
 
 def knn(x: jnp.ndarray, k: int) -> jnp.ndarray:

@@ -161,6 +161,8 @@ def _gather_rows(values, idx, block_q, parts, interpret):
     # push the kernel past the 16 MB VMEM budget
     while bq > 8 and bq * K * fp * 4 > 4 * 1024 * 1024:
         bq //= 2
+    while S % bq:       # grid needs a divisor of S; step down to the
+        bq -= 1         # nearest one (halving can skip past them)
     assert S % bq == 0, (S, bq)
     vhl = _split_parts(values.astype(jnp.float32), parts)  # (B, N, parts*Fp)
 

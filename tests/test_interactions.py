@@ -137,3 +137,29 @@ def test_scan_length_bucket_progression():
                       for T in range(257, 2000)})
     for a, b in zip(lengths, lengths[1:]):
         assert b / a <= 1.26, (a, b)
+
+
+def test_engine_keep_rows_match_interaction_masks():
+    """The engine's batched numpy mask builder and the canonical
+    coalitions.interaction_masks must agree on the 4-row layout
+    [S∪{i,j}, S∪{i}, S∪{j}, S] for every pair and context."""
+    from interpret_quality_tpu.attrib.coalitions import interaction_masks
+
+    R = 12
+    rng = np.random.RandomState(11)
+    pairs = np.array([[0, 5], [3, 7], [10, 2]])
+    ctx = np.stack([np.stack([rng.choice(
+        [r for r in range(R) if r not in p], 4, replace=False)
+        for _ in range(6)]) for p in pairs])                  # (3, 6, 4)
+
+    eng = InteractionEngine.__new__(InteractionEngine)        # mask-only use
+    eng.num_regions = R
+    rows = eng._keep_rows_np(pairs, ctx).reshape(3, 6, 4, R)
+
+    for p, (i, j) in enumerate(pairs):
+        ck = np.zeros((6, R), bool)
+        for c in range(6):
+            ck[c, ctx[p, c]] = True
+        oracle = np.asarray(interaction_masks(
+            jnp.asarray(ck), jnp.asarray(i), jnp.asarray(j)))
+        np.testing.assert_array_equal(rows[p], oracle)
