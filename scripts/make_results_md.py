@@ -29,8 +29,14 @@ def parse_train_log(path):
                      r"test avg acc: ([\d.]+)", line)
         if m:
             last = (int(m.group(1)), float(m.group(3)), float(m.group(4)))
-            if best is None or float(m.group(3)) > best[1]:
-                best = last
+        else:   # adversarial trainer format: "Test N, test acc: X"
+            m = re.match(r"Test (\d+), test acc: ([\d.]+)", line)
+            if m:
+                last = (int(m.group(1)), float(m.group(2)), float("nan"))
+            else:
+                continue
+        if best is None or last[1] > best[1]:
+            best = last
     return {"last": last, "best": best}
 
 
@@ -64,6 +70,7 @@ def main():
     p.add_argument("--checkpoints_root", default="./checkpoints")
     p.add_argument("--samples", default=None)
     p.add_argument("--num_samples", type=int, default=None)
+    p.add_argument("--num_points", type=int, default=None)
     p.add_argument("--label", default="(unlabelled run)")
     p.add_argument("--out", default="RESULTS.md")
     p.add_argument("--append", action="store_true",
@@ -82,6 +89,8 @@ def main():
     extra = {}
     if args.num_samples:
         extra["num_samples"] = args.num_samples
+    if args.num_points:
+        extra["num_points"] = args.num_points
     cfg = ExperimentConfig(model=args.model, dataset=args.dataset,
                            checkpoints_root=args.checkpoints_root, **extra)
     dataset, names = resolve_dataset(cfg, args.synthetic)
