@@ -34,10 +34,11 @@ from ..config import (BALL_QUERY_COEF, ExperimentConfig,
                       SHAPENET_INTER_SELECTED_SAMPLE)
 from ..pipeline import load_frozen_model, resolve_dataset
 from ..utils.io import IOStream, mkdir, save_npy, save_torch_tensor
+from ..utils.region_geom import region_ball_neighbors
 from ..utils.rng import cal_rank, set_random
 from .coalitions import masked_interaction_batch
 from .perturbations import MODES
-from .reward import reward_from_logits
+from .reward import reward_from_logits, reward_from_logits_np
 
 RATIOS = [0., 0.04, 0.07, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.]
 NUM_PAIRS_RANDOM = 300
@@ -47,18 +48,6 @@ NUM_SAVE_CONTEXT_MAX = 100
 def selected_sample_indices(dataset: str) -> List[int]:
     return (MODELNET_INTER_SELECTED_SAMPLE if dataset == "modelnet10"
             else SHAPENET_INTER_SELECTED_SAMPLE)
-
-
-# ---------------------------------------------------------------------------
-# helpers
-# ---------------------------------------------------------------------------
-def _sqdist_np(x):
-    xx = np.sum(x ** 2, axis=1, keepdims=True)
-    return xx + xx.T - 2 * (x @ x.T)
-
-
-def _ball_query_np(x, r):
-    return _sqdist_np(x) < r ** 2
 
 
 def gen_pair_random(num_regions: int, num_pairs: int) -> np.ndarray:
@@ -161,11 +150,9 @@ def run_gen_pair(cfg: ExperimentConfig, mode_name: str = "rotate",
                             - region_shapley_values.min(0))
         range_rank = cfg.num_regions - cal_rank(range_per_region)
 
-        diameter = float(np.sqrt(np.maximum(_sqdist_np(data), 0)).max())
-        region_centers = np.stack([data[region_id == i].mean(axis=0)
-                                   for i in range(cfg.num_regions)])
-        neighbor_idx = _ball_query_np(region_centers,
-                                      BALL_QUERY_COEF * diameter)
+        neighbor_idx = region_ball_neighbors(data, region_id,
+                                             cfg.num_regions,
+                                             BALL_QUERY_COEF)
 
         for region in range(cfg.num_regions):
             region_folder = (single_region_folder
@@ -427,8 +414,10 @@ def compute_order_interaction(all_logits: np.ndarray, label: int,
     """
     num_pairs, rows, _ = all_logits.shape
     num_context = rows // 4
-    logits = jnp.asarray(all_logits.reshape(num_pairs * rows, -1))
-    v = np.asarray(reward_from_logits(logits, jnp.asarray(label), softmax_type))
+    # numpy path: logits scoring is pure post-processing and must not
+    # initialise a device backend (cal_interactions runs host-side)
+    v = reward_from_logits_np(np.asarray(all_logits).reshape(
+        num_pairs * rows, -1), label, softmax_type)
     v = v.reshape(num_pairs, num_context, 4)
     return v[:, :, 0] + v[:, :, 3] - v[:, :, 1] - v[:, :, 2]
 

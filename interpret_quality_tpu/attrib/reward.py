@@ -37,5 +37,23 @@ def reward_from_logits(logits: jnp.ndarray, label: jnp.ndarray,
     raise ValueError(f"unknown softmax_type {softmax_type!r}")
 
 
+def reward_from_logits_np(logits, label: int,
+                          softmax_type: str = "modified"):
+    """Numpy twin of reward_from_logits for host-side post-processing
+    stages (e.g. scoring saved logits), so they never initialise a device
+    backend."""
+    import numpy as np
+    from scipy.special import logsumexp as np_logsumexp
+
+    logits = np.asarray(logits, dtype=np.float64)
+    picked = logits[:, int(label)]
+    if softmax_type == "normal":
+        return picked - np_logsumexp(logits, axis=-1)
+    elif softmax_type == "modified":
+        others = np.delete(logits, int(label), axis=1)
+        return picked - np_logsumexp(others, axis=-1)
+    raise ValueError(f"unknown softmax_type {softmax_type!r}")
+
+
 # alias matching the reference name
 get_reward = reward_from_logits

@@ -169,15 +169,17 @@ def plot_all_models(fig_root: str = "figures",
     nmodels = len(model_names)
     fig, axes = plt.subplots(2 * len(datasets), nmodels,
                              figsize=(5 * nmodels, 16), dpi=100)
+    axes = np.atleast_2d(axes)          # nmodels == 1 yields a 1-D array
     import os
     for di, dataset in enumerate(datasets):
         save_dir = f"{fig_root}/interaction_final_{dataset}/"
         for mi, model_name in enumerate(model_names):
             base = save_dir + f"{model_name}_{dataset}_mean_inter_"
-            if not os.path.exists(base + "normal.npy"):
-                # aggregates not generated yet for this model/dataset
+            if not all(os.path.exists(base + s + ".npy")
+                       for s in ("normal", "adv", "single_region")):
+                # aggregates not (fully) generated for this model/dataset
                 # (run plot_mode=single_region_vs_normal_avg first)
-                print(f"  {base}normal.npy missing, panel skipped")
+                print(f"  {base}*.npy incomplete, panel skipped")
                 continue
             normal = np.load(base + "normal.npy")
             adv = np.load(base + "adv.npy")

@@ -19,6 +19,7 @@ import numpy as np
 from scipy.stats import pearsonr
 
 from ..config import BALL_QUERY_COEF, ExperimentConfig
+from ..utils.region_geom import region_ball_neighbors
 
 MODES_ALL = ["rotate", "trans", "scale", "linearity", "planarity", "scattering"]
 SMOOTH_MODES = ("linearity", "planarity", "scattering")
@@ -39,6 +40,8 @@ def cal_sensitivity(base_folder: str, mode: str) -> np.ndarray:
     sv = _load_region_sv(base_folder, mode)
     denominator = np.mean(np.sum(np.abs(sv), axis=1))
     range_per_region = sv.max(axis=0) - sv.min(axis=0)
+    if denominator == 0:    # all-zero attributions (degenerate toy runs):
+        return range_per_region      # the range is 0 too — report it as-is
     return range_per_region / denominator
 
 
@@ -71,11 +74,6 @@ def cal_correlation_coef(cfg: ExperimentConfig, mode: str,
     return float(rs.mean()), float(rs.std(ddof=1))
 
 
-def _sqdist_np(x):
-    xx = np.sum(x ** 2, axis=1, keepdims=True)
-    return xx + xx.T - 2 * (x @ x.T)
-
-
 def cal_shapley_smoothness_metric_single_pc(
         data: np.ndarray, region_shapley_values: np.ndarray,
         region_id: np.ndarray, num_regions: int = 32):
@@ -84,18 +82,19 @@ def cal_shapley_smoothness_metric_single_pc(
     Returns (metric, metric_all_poses (num_poses,), denominator).
     """
     num_poses = region_shapley_values.shape[0]
-    region_centers = np.stack([data[region_id == i].mean(axis=0)
-                               for i in range(num_regions)])
-    diameter = np.sqrt(np.maximum(_sqdist_np(data), 0)).max()
-    neighbor_idx = _sqdist_np(region_centers) < (BALL_QUERY_COEF * diameter) ** 2
+    neighbor_idx = region_ball_neighbors(data, region_id, num_regions,
+                                         BALL_QUERY_COEF)
 
     denominator = np.abs(np.sum(region_shapley_values, axis=1)).mean()
-    # vectorised over poses and regions
-    all_fraction = np.zeros((num_poses, num_regions))
-    for i in range(num_regions):
+    denominator = denominator if denominator else 1.0   # all-zero phi
+    # vectorised over poses; regions without neighbours (empty regions at
+    # toy scales) are excluded instead of NaN-poisoning the mean
+    keep = neighbor_idx.any(axis=1)
+    all_fraction = np.zeros((num_poses, int(keep.sum())))
+    for col, i in enumerate(np.flatnonzero(keep)):
         diff = np.abs(region_shapley_values[:, i:i + 1]
                       - region_shapley_values[:, neighbor_idx[i]])
-        all_fraction[:, i] = diff.mean(axis=1) / denominator
+        all_fraction[:, col] = diff.mean(axis=1) / denominator
     return all_fraction.mean(), all_fraction.mean(axis=1), denominator
 
 

@@ -141,13 +141,14 @@ def fit_adversarial(model, variables, model_name: str, train_ds, test_ds, *,
 
     from ..models.checkpoint import save_variables
     from ..utils.io import IOStream, mkdir
-    from .trainer import TrainState, make_eval_step, make_optimizer
+    from .trainer import (TrainState, make_eval_step, make_optimizer,
+                          prefetch)
 
     mkdir(exp_dir + "/models")
     if io is None:
         io = IOStream(exp_dir + "/run.log")
-    steps_per_epoch = max(1, len(train_ds) // batch_size)
-    smoothing = True
+    steps_per_epoch = max(1, -(-len(train_ds) // batch_size))  # ceil, see
+    smoothing = True                                           # trainer.fit
     tx, _ = make_optimizer(model_name, steps_per_epoch, epochs, base_lr)
     state = TrainState(variables["params"], variables["batch_stats"],
                        tx.init(variables["params"]), jnp.array(0))
@@ -155,22 +156,23 @@ def fit_adversarial(model, variables, model_name: str, train_ds, test_ds, *,
     eval_step = make_eval_step(model, smoothing)
     rng = jax.random.PRNGKey(seed)
 
-    def loss_fn(params, batch_stats, data, labels, drop_rng):
+    def loss_fn(params, batch_stats, data, labels, drop_rng, weights):
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats}, data, train=True,
             mutable=["batch_stats"], rngs={"dropout": drop_rng})
         logits = out[0] if isinstance(out, tuple) else out
-        return cal_loss(logits, labels, smoothing=smoothing), (
-            logits, mutated["batch_stats"])
+        return cal_loss(logits, labels, smoothing=smoothing,
+                        weights=weights), (logits, mutated["batch_stats"])
 
     @jax.jit
-    def adv_step(state, data, labels, drop_rng):
+    def adv_step(state, data, labels, drop_rng, valid):
+        weights = jnp.arange(data.shape[0]) < valid   # mask pad rows
         data_rot, data_disturb = gen_adv(state.variables, data, labels)
         k1, k2 = jax.random.split(drop_rng)
         (l1, (lg1, bs1)), g1 = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, data_rot, labels, k1)
+            state.params, state.batch_stats, data_rot, labels, k1, weights)
         (l2, (lg2, bs2)), g2 = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, bs1, data_disturb, labels, k2)
+            state.params, bs1, data_disturb, labels, k2, weights)
         grads = jax.tree_util.tree_map(lambda a, b: a + b, g1, g2)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -183,10 +185,10 @@ def fit_adversarial(model, variables, model_name: str, train_ds, test_ds, *,
     for epoch in range(epochs):
         t0 = time.time()
         losses, hits, count = [], 0, 0
-        for data, labels, valid in train_ds.batches(batch_size):
+        for data, labels, valid in prefetch(train_ds.batches(batch_size)):
             rng, sub = jax.random.split(rng)
             state, loss, p1, p2 = adv_step(state, jnp.asarray(data),
-                                           jnp.asarray(labels), sub)
+                                           jnp.asarray(labels), sub, valid)
             losses.append(float(loss) * valid)
             hits += int((np.asarray(p1)[:valid] == labels[:valid]).sum()
                         + (np.asarray(p2)[:valid] == labels[:valid]).sum())

@@ -128,7 +128,7 @@ def make_train_step(model, tx, model_name: str, smoothing: bool,
                     lambda_ft: float = 1e-3):
     """Jitted (state, data, labels, rng) -> (state, loss, preds)."""
 
-    def loss_fn(params, batch_stats, data, labels, rng):
+    def loss_fn(params, batch_stats, data, labels, rng, weights):
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats}, data, train=True,
             mutable=["batch_stats"], rngs={"dropout": rng})
@@ -136,16 +136,20 @@ def make_train_step(model, tx, model_name: str, smoothing: bool,
             logits, trans_feat, _ = out
         else:
             logits, trans_feat = out, None
-        loss = cal_loss(logits, labels, smoothing=smoothing)
+        loss = cal_loss(logits, labels, smoothing=smoothing, weights=weights)
         if model_name == "pointnet" and trans_feat is not None:
             loss = loss + feature_transform_regularizer(trans_feat) * lambda_ft
         return loss, (logits, mutated["batch_stats"])
 
     @jax.jit
-    def step(state: TrainState, data, labels, rng):
+    def step(state: TrainState, data, labels, rng, valid):
+        # tail batches are padded with copies of the last sample; mask the
+        # pad rows out of the loss so they carry no gradient (BatchNorm
+        # batch stats still see them — a momentum-weighted residual)
+        weights = jnp.arange(data.shape[0]) < valid
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, data,
-                                   labels, rng)
+                                   labels, rng, weights)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         preds = jnp.argmax(logits, axis=-1)
@@ -157,10 +161,12 @@ def make_train_step(model, tx, model_name: str, smoothing: bool,
 
 def make_eval_step(model, smoothing: bool):
     @jax.jit
-    def step(variables, data, labels):
+    def step(variables, data, labels, valid=None):
         out = model.apply(variables, data, train=False)
         logits = out[0] if isinstance(out, tuple) else out
-        loss = cal_loss(logits, labels, smoothing=smoothing)
+        weights = (None if valid is None
+                   else jnp.arange(data.shape[0]) < valid)
+        loss = cal_loss(logits, labels, smoothing=smoothing, weights=weights)
         return loss, jnp.argmax(logits, axis=-1)
     return step
 
@@ -175,7 +181,9 @@ def fit(model, variables, model_name: str, train_ds, test_ds, *,
     mkdir(exp_dir + "/models")
     if io is None:
         io = IOStream(exp_dir + "/run.log")
-    steps_per_epoch = max(1, len(train_ds) // batch_size)
+    steps_per_epoch = max(1, -(-len(train_ds) // batch_size))  # ceil: the
+    # padded-tail loop really runs ceil(len/bs) steps, and the per-step LR
+    # schedules must hit their boundaries on true epoch boundaries
     smoothing = model_name in ("dgcnn", "gcnn", "gcnn_adv")
     tx, epochs = make_optimizer(model_name, steps_per_epoch, epochs, base_lr)
     state = TrainState(variables["params"], variables["batch_stats"],
@@ -192,7 +200,7 @@ def fit(model, variables, model_name: str, train_ds, test_ds, *,
         for data, labels, valid in prefetch(train_ds.batches(batch_size)):
             rng, sub = jax.random.split(rng)
             state, loss, preds = train_step(state, jnp.asarray(data),
-                                            jnp.asarray(labels), sub)
+                                            jnp.asarray(labels), sub, valid)
             losses.append(float(loss) * valid)
             tr_true.append(labels[:valid])
             tr_pred.append(np.asarray(preds)[:valid])
@@ -210,7 +218,7 @@ def fit(model, variables, model_name: str, train_ds, test_ds, *,
         for data, labels, valid in test_ds.batches(test_batch_size,
                                                    shuffle=False):
             loss, preds = eval_step(state.variables, jnp.asarray(data),
-                                    jnp.asarray(labels))
+                                    jnp.asarray(labels), valid)
             tl.append(float(loss) * valid)
             te_true.append(labels[:valid])
             te_pred.append(np.asarray(preds)[:valid])

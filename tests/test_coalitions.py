@@ -261,3 +261,19 @@ def test_scanned_order_chunking_matches_single_chunk():
     sv3 = e_scan.shapley_for_pose(cloud, 1, region_id, orders)
     assert len(e_scan._scan_cache) == 1
     np.testing.assert_allclose(sv3, sv1, rtol=1e-6, atol=1e-8)
+
+
+def test_reward_np_matches_jnp():
+    """The numpy post-processing reward twin must match the device path."""
+    import jax.numpy as jnp
+    from interpret_quality_tpu.attrib.reward import (reward_from_logits,
+                                                     reward_from_logits_np)
+
+    rng = np.random.RandomState(3)
+    logits = rng.randn(40, 10).astype(np.float32) * 3
+    for st in ("normal", "modified"):
+        for label in (0, 4, 9):
+            a = np.asarray(reward_from_logits(jnp.asarray(logits),
+                                              jnp.asarray(label), st))
+            b = reward_from_logits_np(logits, label, st)
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

@@ -47,3 +47,31 @@ def test_selected_sample_indices_match_reference():
         [0, 3, 6, 9, 12, 15, 18, 21, 24, 27]
     assert selected_sample_indices("shapenet") == \
         [0, 3, 6, 9, 12, 15, 19, 21, 24, 27]
+
+
+def test_region_ball_neighbors_empty_region_guard():
+    """Empty regions (possible at toy scales) get no neighbours and are
+    excluded from the smoothness metric instead of NaN-poisoning it."""
+    import numpy as np
+
+    from interpret_quality_tpu.results.tables import \
+        cal_shapley_smoothness_metric_single_pc
+    from interpret_quality_tpu.utils.region_geom import region_ball_neighbors
+
+    rng = np.random.RandomState(0)
+    N, R = 60, 8
+    data = rng.randn(N, 3)
+    region_id = rng.randint(0, R - 1, N)     # region R-1 left empty
+    nb = region_ball_neighbors(data, region_id, R, coef=0.25)
+    assert not nb[R - 1].any() and not nb[:, R - 1].any()
+    assert nb[:R - 1].any(axis=1).all()      # non-empty regions self-match
+
+    sv = rng.randn(5, R)
+    metric, per_pose, denom = cal_shapley_smoothness_metric_single_pc(
+        data, sv, region_id, num_regions=R)
+    assert np.isfinite(metric) and np.isfinite(per_pose).all()
+
+    # all-zero attributions: denominator guard keeps the metric finite
+    metric0, per0, _ = cal_shapley_smoothness_metric_single_pc(
+        data, np.zeros((5, R)), region_id, num_regions=R)
+    assert metric0 == 0.0 and np.isfinite(per0).all()
