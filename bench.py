@@ -46,7 +46,12 @@ GFLOP_PER_FORWARD = {
 _TITAN_EFF_FLOPS = 16.3e12 * 0.30       # TITAN RTX fp32 peak x assumed util
 
 
-def reference_fwds_per_sec(model: str) -> float:
+def reference_fwds_per_sec(model: str, num_points: int = 1024):
+    """Derived TITAN-RTX proxy rate; only defined for the N=1024 FLOP table
+    (non-default --num_points changes the workload non-linearly per model,
+    so no like-for-like ratio exists)."""
+    if num_points != 1024:
+        return None
     return _TITAN_EFF_FLOPS / (GFLOP_PER_FORWARD[model] * 1e9)
 
 
@@ -93,11 +98,12 @@ def bench_model(name: str, orders: int | None, steps: int, warmup: int,
 
     forwards = steps * orders_per_step * (R + 1)
     fps = forwards / dt
+    ref = reference_fwds_per_sec(name, num_points)
     return {
         "model": name,
         "forwards_per_sec": round(fps, 1),
         "orders_per_step": orders_per_step,
-        "vs_baseline": round(fps / reference_fwds_per_sec(name), 3),
+        "vs_baseline": round(fps / ref, 3) if ref else None,
     }
 
 
@@ -131,11 +137,11 @@ def bench_enum_stage(name: str, num_points: int, max_poses: int) -> dict:
         finally:
             os.chdir(cwd)
     forwards = max_poses * cfg.num_samples * (cfg.num_regions + 1)
+    ref = reference_fwds_per_sec(name, num_points)
     return {"model": name, "stage": "enum_trans",
             "poses": max_poses,
             "sustained_forwards_per_sec": round(forwards / dt, 1),
-            "vs_baseline": round(
-                forwards / dt / reference_fwds_per_sec(name), 3)}
+            "vs_baseline": round(forwards / dt / ref, 3) if ref else None}
 
 
 def main():
@@ -172,13 +178,14 @@ def main():
     import numpy as np
     geo = float(np.exp(np.mean(
         [np.log(r["forwards_per_sec"]) for r in results])))
-    geo_vs = float(np.exp(np.mean(
-        [np.log(r["vs_baseline"]) for r in results])))
+    vs = [r["vs_baseline"] for r in results if r["vs_baseline"]]
+    geo_vs = (float(np.exp(np.mean([np.log(v) for v in vs])))
+              if vs else None)
     print(json.dumps({
         "metric": "masked_coalition_forwards_per_sec_geomean",
         "value": round(geo, 1),
         "unit": "forwards/s",
-        "vs_baseline": round(geo_vs, 3),
+        "vs_baseline": round(geo_vs, 3) if geo_vs else None,
         "per_model": {r["model"]: {
             "forwards_per_sec": r["forwards_per_sec"],
             "vs_baseline": r["vs_baseline"]} for r in results},

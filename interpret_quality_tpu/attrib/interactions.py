@@ -107,6 +107,9 @@ def run_gen_pair(cfg: ExperimentConfig, mode_name: str = "rotate",
     disturb_batch = jax.jit(jax.vmap(mode.disturb_fn, in_axes=(None, 0)))
     disturb_one = jax.jit(mode.disturb_fn)
 
+    # default = ALL eval samples, matching reference final_gen_pair.py:106
+    # (only the logits/scoring stages narrow to the selected ~10); pass
+    # sample_indices to restrict when the extra adv-pose searches are waste
     indices = sample_indices if sample_indices is not None else range(len(dataset))
     for pc_idx in indices:
         data, lbl = dataset[pc_idx]

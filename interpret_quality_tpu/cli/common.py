@@ -61,10 +61,16 @@ def base_parser(description: str) -> argparse.ArgumentParser:
 
 
 def config_from_args(args) -> ExperimentConfig:
-    if getattr(args, "matmul_precision", "default") != "default":
+    mm = getattr(args, "matmul_precision", "default")
+    if mm != "default":
         import jax
-        jax.config.update("jax_default_matmul_precision",
-                          args.matmul_precision)
+        jax.config.update("jax_default_matmul_precision", mm)
+    else:
+        import jax
+        # reset unconditionally: process-global, must not leak from a
+        # previous config_from_args call in the same process
+        if jax.config.jax_default_matmul_precision is not None:
+            jax.config.update("jax_default_matmul_precision", "default")
     # set unconditionally: the value is process-global and must not leak
     # from a previous config_from_args call in the same process
     from ..config import set_gather_value_parts

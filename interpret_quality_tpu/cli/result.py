@@ -2,11 +2,10 @@
 
 Replaces reference final_result.py — consumes the same artifact tree.
 """
+from ..config import MODEL_NAMES
+from ..results.tables import MODES_ALL
 from .common import (base_parser, config_from_args,
                      sample_indices_from_args)
-
-MODES_ALL = ["rotate", "trans", "scale", "linearity", "planarity", "scattering"]
-MODEL_NAMES = ["pointnet", "pointnet2", "pointconv", "dgcnn", "gcnn", "gcnn_adv"]
 
 
 def main():

@@ -36,7 +36,10 @@ def main():
     if args.synthetic:
         train_ds = SyntheticClouds(num_samples=args.train_samples,
                                    num_points=cfg.num_points,
-                                   seed=cfg.seed, train=True)
+                                   seed=cfg.seed, train=True,
+                                   drop_point=args.drop_point,
+                                   rot_y=args.train_rot_y_perturbation,
+                                   rot_all=args.train_rot_all_perturbation)
         test_ds = SyntheticClouds(num_samples=args.test_samples,
                                   num_points=cfg.num_points,
                                   seed=cfg.seed + 1)

@@ -35,7 +35,8 @@ def main():
     set_random(cfg.seed)
     if args.synthetic:
         train_ds = SyntheticClouds(num_samples=64, num_points=cfg.num_points,
-                                   seed=cfg.seed, train=True)
+                                   seed=cfg.seed, train=True,
+                                   rot_all=args.train_rot_all_perturbation)
         test_ds = SyntheticClouds(num_samples=16, num_points=cfg.num_points,
                                   seed=cfg.seed + 1)
     elif cfg.dataset == "modelnet10":

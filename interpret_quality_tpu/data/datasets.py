@@ -262,10 +262,14 @@ class SyntheticClouds(_TrainBase):
     the ModelNet/ShapeNet files are not on disk."""
 
     def __init__(self, num_samples=30, num_points=1024, num_classes=10,
-                 seed=0, train=False):
+                 seed=0, train=False, drop_point=False, rot_y=False,
+                 rot_all=False):
         self.num_points = num_points
         self.train = train
         self.num_classes = num_classes
+        self.drop_point = drop_point
+        self.rot_y = rot_y
+        self.rot_all = rot_all
         rng = np.random.RandomState(seed)
         self.items = [(i, int(rng.randint(num_classes)))
                       for i in range(num_samples)]

@@ -20,6 +20,9 @@ extern "C" {
 
 // Farthest-point sampling with the first point fixed at index 0.
 // pts: (n, 3) row-major float32.  out_idx: (npoint,) int64.
+// f32 arithmetic in numpy's op order (sub, square, sum) — with
+// -ffp-contract=off (build_native.sh) this rounds identically to the
+// reference's numpy loop, keeping the resampled partitions bit-identical.
 void iqtpu_fps_f32(const float* pts, int64_t n, int64_t npoint,
                    int64_t* out_idx) {
     if (n <= 0 || npoint <= 0) return;
@@ -56,6 +59,10 @@ void iqtpu_fps_batch_f32(const float* pts, int64_t b, int64_t n,
 // Parse whitespace-separated floats from a text buffer (e.g. a ShapeNet
 // .pts file).  Writes up to max_vals values to out; returns the number of
 // values parsed.
+// CONTRACT: buf must point at a NUL-terminated buffer of at least len
+// bytes (CPython bytes objects are) — strtof scans to the first non-float
+// byte and is not bounded by `end`, so a token straddling buf+len parses
+// whole rather than truncating at len.
 int64_t iqtpu_parse_floats(const char* buf, int64_t len, float* out,
                            int64_t max_vals) {
     int64_t count = 0;

@@ -3,7 +3,7 @@
 set -e
 model=${1:-pointnet}
 dataset=${2:-modelnet10}
-shift 2 || true
+shift $(( $# > 2 ? 2 : $# ))
 python -m interpret_quality_tpu.cli.save_fps --dataset=$dataset "$@"
 python -m interpret_quality_tpu.cli.shapley_value --model=$model --dataset=$dataset "$@"
 python -m interpret_quality_tpu.cli.enum --mode=trans  --model=$model --dataset=$dataset "$@"

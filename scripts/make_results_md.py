@@ -71,6 +71,7 @@ def main():
     p.add_argument("--samples", default=None)
     p.add_argument("--num_samples", type=int, default=None)
     p.add_argument("--num_points", type=int, default=None)
+    p.add_argument("--seed", type=int, default=1)
     p.add_argument("--label", default="(unlabelled run)")
     p.add_argument("--out", default="RESULTS.md")
     p.add_argument("--append", action="store_true",
@@ -92,7 +93,8 @@ def main():
     if args.num_points:
         extra["num_points"] = args.num_points
     cfg = ExperimentConfig(model=args.model, dataset=args.dataset,
-                           checkpoints_root=args.checkpoints_root, **extra)
+                           checkpoints_root=args.checkpoints_root,
+                           seed=args.seed, **extra)
     dataset, names = resolve_dataset(cfg, args.synthetic)
     sel = (list(range(len(names))) if args.samples is None
            else [int(s) for s in args.samples.split(",")])

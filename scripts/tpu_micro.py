@@ -6,10 +6,11 @@ completion.  Prints one JSON line per (op, variant).
 """
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench(name, fn, iters=5):

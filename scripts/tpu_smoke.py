@@ -6,10 +6,11 @@ Usage: python scripts/tpu_smoke.py [--models pointnet,dgcnn,...] [--orders N]
 """
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
