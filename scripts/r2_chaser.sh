@@ -29,7 +29,8 @@ if [ -n "$2" ]; then append_and_commit "$2"; fi
 # 2) remaining normally-trained families (MODELS env var overrides)
 for M in ${MODELS:-pointnet2 pointconv}; do
   echo "[chaser] ==== $M ===="
-  python -u -m interpret_quality_tpu.cli.train --model "$M" --synthetic \
+  CK="checkpoints/exp_MODEL_${M}_DATA_modelnet10_POINTNUM_1024_clean/models/model_best.msgpack"
+  [ -f "$CK" ] || python -u -m interpret_quality_tpu.cli.train --model "$M" --synthetic \
     --epochs 15 --best_acc_gate 0 > "/tmp/${M}_train.log" 2>&1 \
     || { echo "[chaser] $M train FAILED"; continue; }
   bash scripts/run_results_suite.sh "$M" --synthetic --samples "$SAMPLES" \
@@ -44,8 +45,9 @@ GCKPT=checkpoints/exp_MODEL_gcnn_DATA_modelnet10_POINTNUM_1024_clean/models/mode
 ACKPT=checkpoints/exp_MODEL_gcnn_adv_DATA_modelnet10_POINTNUM_1024_clean_with_all_rot_da/models/model_best.msgpack
 if [ -f "$GCKPT" ]; then
   echo "[chaser] ==== gcnn_adv ===="
-  python -u -m interpret_quality_tpu.cli.train_adv --synthetic --epochs 8 \
-    --best_acc_gate 0 --resume_path "$GCKPT" > /tmp/gcnn_adv_train.log 2>&1 \
+  { [ -f "$ACKPT" ] \
+    || python -u -m interpret_quality_tpu.cli.train_adv --synthetic --epochs 8 \
+         --best_acc_gate 0 --resume_path "$GCKPT" > /tmp/gcnn_adv_train.log 2>&1; } \
     && bash scripts/run_results_suite.sh gcnn_adv --synthetic --samples "$SAMPLES" \
          --model_path "$ACKPT" > /tmp/tpu_suite_gcnn_adv.log 2>&1 \
     && append_and_commit gcnn_adv
