@@ -23,6 +23,24 @@ append_and_commit() {  # $1 = model
 No-Verification-Needed: generated results/doc-only append" || true
 }
 
+# Tunnel wedges mid-suite are a known failure mode (they self-recover in
+# ~30 min).  Every restartable stage takes --resume, so the cheapest fix is:
+# on failure, block on a fresh-compile probe, then rerun the whole suite —
+# completed per-sample work is skipped.  Bounded at 3 attempts so a real
+# (non-tunnel) bug cannot spin forever.
+run_suite_retry() {  # $1 = model, rest = suite flags
+  local M=$1; shift
+  local try
+  for try in 1 2 3; do
+    if bash scripts/run_results_suite.sh "$M" "$@" >> "/tmp/tpu_suite_${M}.log" 2>&1; then
+      return 0
+    fi
+    echo "[chaser] $M suite attempt $try failed; probing tunnel before retry"
+    bash scripts/tpu_probe.sh
+  done
+  return 1
+}
+
 # 1) collect whatever suite the waited-on pid was running (pass model as $2).
 if [ -n "$2" ]; then append_and_commit "$2"; fi
 
@@ -30,11 +48,17 @@ if [ -n "$2" ]; then append_and_commit "$2"; fi
 for M in ${MODELS:-pointnet2 pointconv}; do
   echo "[chaser] ==== $M ===="
   CK="checkpoints/exp_MODEL_${M}_DATA_modelnet10_POINTNUM_1024_clean/models/model_best.msgpack"
-  [ -f "$CK" ] || python -u -m interpret_quality_tpu.cli.train --model "$M" --synthetic \
-    --epochs 15 --best_acc_gate 0 > "/tmp/${M}_train.log" 2>&1 \
+  if [ ! -f "$CK" ]; then
+    python -u -m interpret_quality_tpu.cli.train --model "$M" --synthetic \
+      --epochs 15 --best_acc_gate 0 > "/tmp/${M}_train.log" 2>&1 \
+    || { echo "[chaser] $M train attempt 1 failed; probing tunnel"; \
+         bash scripts/tpu_probe.sh; \
+         python -u -m interpret_quality_tpu.cli.train --model "$M" --synthetic \
+           --epochs 15 --best_acc_gate 0 >> "/tmp/${M}_train.log" 2>&1; } \
     || { echo "[chaser] $M train FAILED"; continue; }
-  bash scripts/run_results_suite.sh "$M" --synthetic --samples "$SAMPLES" \
-    > "/tmp/tpu_suite_${M}.log" 2>&1 || { echo "[chaser] $M suite FAILED"; continue; }
+  fi
+  run_suite_retry "$M" --synthetic --samples "$SAMPLES" \
+    || { echo "[chaser] $M suite FAILED"; continue; }
   append_and_commit "$M"
 done
 
@@ -47,9 +71,13 @@ if [ -f "$GCKPT" ]; then
   echo "[chaser] ==== gcnn_adv ===="
   { [ -f "$ACKPT" ] \
     || python -u -m interpret_quality_tpu.cli.train_adv --synthetic --epochs 8 \
-         --best_acc_gate 0 --resume_path "$GCKPT" > /tmp/gcnn_adv_train.log 2>&1; } \
-    && bash scripts/run_results_suite.sh gcnn_adv --synthetic --samples "$SAMPLES" \
-         --model_path "$ACKPT" > /tmp/tpu_suite_gcnn_adv.log 2>&1 \
+         --best_acc_gate 0 --resume_path "$GCKPT" > /tmp/gcnn_adv_train.log 2>&1 \
+    || { echo "[chaser] gcnn_adv train attempt 1 failed; probing tunnel"; \
+         bash scripts/tpu_probe.sh; \
+         python -u -m interpret_quality_tpu.cli.train_adv --synthetic --epochs 8 \
+           --best_acc_gate 0 --resume_path "$GCKPT" >> /tmp/gcnn_adv_train.log 2>&1; }; } \
+    && run_suite_retry gcnn_adv --synthetic --samples "$SAMPLES" \
+         --model_path "$ACKPT" \
     && append_and_commit gcnn_adv
 fi
 echo "[chaser] ALL DONE"
