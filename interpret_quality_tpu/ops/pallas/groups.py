@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import gather_value_parts
-from .neighbors import _dist_tile, _split_parts
+from .neighbors import _dist_tile, _select_min, _split_parts, knn_select_impl
 
 _BIG = 1e30
 
@@ -287,7 +287,7 @@ def _fused_ball_mlp3(new_xyz, xyz, uf, b1, a1x, a2, b2, a3, b3, *, radius, k,
 # Fused PointConv set abstraction (reference models/pointconv.py:324-391)
 # ---------------------------------------------------------------------------
 def _knn_den_kernel(xq_ref, xdbt_ref, invden_ref, oidx_ref, oden_ref,
-                    odmax_ref, *, k: int):
+                    odmax_ref, *, k: int, select: str):
     """Exact kNN selection that also extracts each neighbour's inverse
     density and the per-query max (the group normaliser,
     reference pointconv.py:376-377)."""
@@ -297,11 +297,7 @@ def _knn_den_kernel(xq_ref, xdbt_ref, invden_ref, oidx_ref, oden_ref,
     invden = invden_ref[0]                                 # (1, N)
     dmax = jnp.full((q, 1), -_BIG, jnp.float32)
     for j in range(k):
-        rowmin = jnp.min(dist, axis=1, keepdims=True)
-        sel = jnp.min(jnp.where(dist == rowmin, col, n),
-                      axis=1, keepdims=True)               # (Q, 1)
-        onehot = col == sel
-        dist = jnp.where(onehot, _BIG, dist)
+        sel, onehot, dist = _select_min(dist, col, select)
         dj = jnp.max(jnp.where(onehot, invden, -_BIG), axis=1, keepdims=True)
         dmax = jnp.maximum(dmax, dj)
         oidx_ref[0, :, j] = sel[:, 0]
@@ -309,9 +305,9 @@ def _knn_den_kernel(xq_ref, xdbt_ref, invden_ref, oidx_ref, oden_ref,
     odmax_ref[0] = dmax
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_q", "interpret"))
 def knn_with_density(query, database, inv_density, k: int,
-                     block_q: int = 128, interpret: bool = False):
+                     block_q: int = 128, select: str = None,
+                     interpret: bool = False):
     """kNN indices + gathered inverse densities + per-query density max.
 
     Args:
@@ -319,12 +315,23 @@ def knn_with_density(query, database, inv_density, k: int,
     Returns:
       idx (B, S, k) int32, den (B, S, k) f32, dmax (B, S, 1) f32.
     """
+    if select is None:
+        select = knn_select_impl()
+    return _knn_with_density(query, database, inv_density, k,
+                             block_q=block_q, select=select,
+                             interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "block_q", "select", "interpret"))
+def _knn_with_density(query, database, inv_density, k, block_q, select,
+                      interpret):
     B, S, C = query.shape
     N = database.shape[1]
     bq = min(block_q, S)
     assert S % bq == 0, (S, bq)
     db_t = jnp.swapaxes(database.astype(jnp.float32), 1, 2)
-    kernel = functools.partial(_knn_den_kernel, k=k)
+    kernel = functools.partial(_knn_den_kernel, k=k, select=select)
     idx, den, dmax = pl.pallas_call(
         kernel,
         grid=(B, S // bq),

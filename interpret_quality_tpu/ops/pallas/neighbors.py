@@ -23,6 +23,7 @@ Replaces the reference's `knn` + `get_graph_feature` pipeline
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,21 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import gather_value_parts
 
 _BIG = 1e30   # python float: jnp scalars would be captured consts in kernels
+
+
+def knn_select_impl() -> str:
+    """Selection-sweep implementation for the iterative exact top-k.
+
+    ``two_pass``: row min, then a tie-break min over masked column indices
+    (two VPU reduction passes per iteration).  ``argmin``: a single variadic
+    (value, index) reduction — `jnp.argmin`'s lowest-index tie semantics are
+    exactly `jax.lax.top_k`'s, and Mosaic lowers arg-reductions (the FPS
+    kernel already relies on `jnp.argmax`).  Both are exact; they differ
+    only in VPU passes per selected neighbour.  Switch with
+    ``IQTPU_KNN_SELECT=argmin|two_pass`` (read at trace time) to A/B on
+    hardware.
+    """
+    return os.environ.get("IQTPU_KNN_SELECT", "two_pass")
 
 
 def _split_hilo(a: jnp.ndarray):
@@ -61,20 +77,24 @@ def _dist_tile(xq, xdb_t):
     return q2 - 2.0 * inner + d2
 
 
-def _select_min(dist, col):
+def _select_min(dist, col, select: str = "two_pass"):
     """One exact arg-min step with lowest-index tie break.
 
-    Returns (onehot (Q, N) bool, dist with the selected lane masked out).
+    Returns (sel (Q, 1) int32, onehot (Q, N) bool, dist with the selected
+    lane masked out).
     """
     n = dist.shape[1]
-    rowmin = jnp.min(dist, axis=1, keepdims=True)
-    sel = jnp.min(jnp.where(dist == rowmin, col, n), axis=1, keepdims=True)
+    if select == "argmin":
+        sel = jnp.argmin(dist, axis=1, keepdims=True).astype(jnp.int32)
+    else:
+        rowmin = jnp.min(dist, axis=1, keepdims=True)
+        sel = jnp.min(jnp.where(dist == rowmin, col, n), axis=1, keepdims=True)
     onehot = col == sel
-    return onehot, jnp.where(onehot, _BIG, dist)
+    return sel, onehot, jnp.where(onehot, _BIG, dist)
 
 
 def _extrema_kernel(xq_ref, xdbt_ref, ahl_ref, omax_ref, omin_ref, *, k: int,
-                    parts: int):
+                    parts: int, select: str):
     dist = _dist_tile(xq_ref[0], xdbt_ref[0])
     q, n = dist.shape
     f = ahl_ref.shape[-1] // parts
@@ -84,7 +104,7 @@ def _extrema_kernel(xq_ref, xdbt_ref, ahl_ref, omax_ref, omin_ref, *, k: int,
     amax = jnp.full((q, f), -_BIG, jnp.float32)
     amin = jnp.full((q, f), _BIG, jnp.float32)
     for _ in range(k):
-        onehot, dist = _select_min(dist, col)
+        _, onehot, dist = _select_min(dist, col, select)
         oh = onehot.astype(jnp.bfloat16)
         ghl = jnp.dot(oh, ahl, preferred_element_type=jnp.float32)
         g = ghl if parts == 1 else ghl[:, :f] + ghl[:, f:]   # hi (+ lo)
@@ -96,7 +116,7 @@ def _extrema_kernel(xq_ref, xdbt_ref, ahl_ref, omax_ref, omin_ref, *, k: int,
 
 def knn_gather_extrema(xs: jnp.ndarray, a: jnp.ndarray, k: int,
                        block_q: int = 512, parts: int = None,
-                       interpret: bool = False):
+                       select: str = None, interpret: bool = False):
     """Per-point extrema of value rows over the k nearest neighbours.
 
     Args:
@@ -114,13 +134,16 @@ def knn_gather_extrema(xs: jnp.ndarray, a: jnp.ndarray, k: int,
     """
     if parts is None:
         parts = gather_value_parts()
+    if select is None:
+        select = knn_select_impl()
     return _knn_gather_extrema(xs, a, k, block_q=block_q, parts=parts,
-                               interpret=interpret)
+                               select=select, interpret=interpret)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "block_q", "parts", "interpret"))
-def _knn_gather_extrema(xs, a, k, block_q, parts, interpret):
+                   static_argnames=("k", "block_q", "parts", "select",
+                                    "interpret"))
+def _knn_gather_extrema(xs, a, k, block_q, parts, select, interpret):
     B, N, C = xs.shape
     F = a.shape[-1]
     bq = min(block_q, N)
@@ -129,7 +152,8 @@ def _knn_gather_extrema(xs, a, k, block_q, parts, interpret):
     xs_t = jnp.swapaxes(xs, 1, 2)                          # (B, C, N)
     ahl = _split_parts(a.astype(jnp.float32), parts)       # (B, N, parts*F)
 
-    kernel = functools.partial(_extrema_kernel, k=k, parts=parts)
+    kernel = functools.partial(_extrema_kernel, k=k, parts=parts,
+                               select=select)
     out_shape = jax.ShapeDtypeStruct((B, N, F), jnp.float32)
     omax, omin = pl.pallas_call(
         kernel,
@@ -228,23 +252,18 @@ def _gather_extrema(idx, a, block_q, parts, interpret):
     return omax, omin
 
 
-def _knn_kernel(xq_ref, xdbt_ref, oidx_ref, *, k: int):
+def _knn_kernel(xq_ref, xdbt_ref, oidx_ref, *, k: int, select: str):
     dist = _dist_tile(xq_ref[0], xdbt_ref[0])
     q, n = dist.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
     for j in range(k):
-        rowmin = jnp.min(dist, axis=1, keepdims=True)
-        sel = jnp.min(jnp.where(dist == rowmin, col, n),
-                      axis=1, keepdims=True)               # (Q, 1)
-        onehot = col == sel
-        dist = jnp.where(onehot, _BIG, dist)
+        sel, _, dist = _select_min(dist, col, select)
         oidx_ref[0, :, j] = sel[:, 0]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "block_q", "interpret"))
 def knn_pallas(query: jnp.ndarray, database: jnp.ndarray, k: int,
-               block_q: int = 256, interpret: bool = False) -> jnp.ndarray:
+               block_q: int = 256, select: str = None,
+               interpret: bool = False) -> jnp.ndarray:
     """Exact k-nearest-neighbour indices (fused distance + selection).
 
     Args:
@@ -253,13 +272,22 @@ def knn_pallas(query: jnp.ndarray, database: jnp.ndarray, k: int,
       (B, S, k) int32 — indices into the database, `jax.lax.top_k`
       tie semantics (lowest index first).
     """
+    if select is None:
+        select = knn_select_impl()
+    return _knn_pallas(query, database, k, block_q=block_q, select=select,
+                       interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "block_q", "select", "interpret"))
+def _knn_pallas(query, database, k, block_q, select, interpret):
     B, S, C = query.shape
     N = database.shape[1]
     bq = min(block_q, S)
     assert S % bq == 0, (S, bq)
     db_t = jnp.swapaxes(database.astype(jnp.float32), 1, 2)
 
-    kernel = functools.partial(_knn_kernel, k=k)
+    kernel = functools.partial(_knn_kernel, k=k, select=select)
     idx = pl.pallas_call(
         kernel,
         grid=(B, S // bq),
