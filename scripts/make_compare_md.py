@@ -22,6 +22,8 @@ def main():
                    help="per-model sample restriction, e.g. 0,3,6; "
                         "model=samples[;model=samples...] for mixed runs")
     p.add_argument("--models", default=None)
+    p.add_argument("--num_samples", type=int, default=None)
+    p.add_argument("--num_points", type=int, default=None)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--label", default="(unlabelled)")
     p.add_argument("--out", default="RESULTS.md")
@@ -46,11 +48,18 @@ def main():
             else:
                 default_sel = [int(x) for x in part.split(",")]
 
+    extra = {}
+    if args.num_samples:
+        extra["num_samples"] = args.num_samples
+    if args.num_points:
+        extra["num_points"] = args.num_points
+
     rows = {}          # model -> {metric: "mean ± std"}
     for model in models:
         cfg = ExperimentConfig(model=model, dataset=args.dataset,
                                seed=args.seed,
-                               checkpoints_root=args.checkpoints_root)
+                               checkpoints_root=args.checkpoints_root,
+                               **extra)
         try:
             dataset, names = resolve_dataset(cfg, args.synthetic)
         except Exception:

@@ -217,3 +217,58 @@ def test_plot_interaction_cli(cfg, workdir, monkeypatch):
     plot_interaction.main()
     figs = [f for root, _, files in os.walk(fig_root) for f in files]
     assert figs, "plot CLI produced no figure files"
+
+
+def _run_script(name, argv, monkeypatch):
+    import runpy
+    import sys
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "scripts", name)
+    monkeypatch.setattr(sys, "argv", [name, *argv])
+    runpy.run_path(path, run_name="__main__")
+
+
+def test_make_results_md_script(cfg, workdir, monkeypatch):
+    """scripts/make_results_md.py (the chip-queue's per-model RESULTS.md
+    append step) over the e2e artifact tree: every table section renders."""
+    out = workdir + "/RESULTS_test.md"
+    _run_script("make_results_md.py", [
+        "--model", cfg.model, "--synthetic",
+        "--checkpoints_root", cfg.checkpoints_root,
+        "--num_points", str(cfg.num_points),
+        "--num_samples", str(cfg.num_samples),
+        "--samples", "0,1", "--label", "pytest fixture", "--out", out,
+    ], monkeypatch)
+    text = open(out).read()
+    for needle in ("Table 2", "Table 3", "Table 4",
+                   "| trans |", "| rotate |", "Interactions"):
+        assert needle in text, needle
+    # --append adds a second section instead of clobbering
+    _run_script("make_results_md.py", [
+        "--model", cfg.model, "--synthetic",
+        "--checkpoints_root", cfg.checkpoints_root,
+        "--num_points", str(cfg.num_points),
+        "--num_samples", str(cfg.num_samples),
+        "--samples", "0,1", "--append", "--out", out,
+    ], monkeypatch)
+    assert open(out).read().count("# RESULTS") == 2
+
+
+def test_make_compare_md_script(cfg, workdir, monkeypatch):
+    """scripts/make_compare_md.py (the chip-queue's final cross-model
+    append) over the e2e tree, incl. the model=samples selector syntax."""
+    out = workdir + "/COMPARE_test.md"
+    open(out, "w").write("existing\n")
+    _run_script("make_compare_md.py", [
+        "--synthetic", "--checkpoints_root", cfg.checkpoints_root,
+        "--models", f"{cfg.model},dgcnn",          # dgcnn has no artifacts
+        "--num_points", str(cfg.num_points),
+        "--num_samples", str(cfg.num_samples),
+        "--samples", f"{cfg.model}=0,1", "--out", out,
+    ], monkeypatch)
+    text = open(out).read()
+    assert text.startswith("existing")             # appends, never clobbers
+    assert f"| {cfg.model} |" in text
+    assert "| dgcnn |" not in text                 # missing tree skipped
+    for needle in ("Table 2", "Table 3", "Table 4"):
+        assert needle in text, needle
