@@ -1,0 +1,136 @@
+"""Engine-level Shapley parity vs the reference implementation itself.
+
+test_parity_torch.py proves the *models* match under converted weights;
+this proves the *attribution algorithm* matches: the reference's own
+`shap_sampling_all_regions_batch` (tools/final_common.py:64-103, run
+torch-CPU, imported read-only from /root/reference) and our ShapleyEngine
+are fed identical weights, cloud, region partition and permutations, and
+must produce the same per-region Shapley values, the same saved-logits
+rows (reference row layout: order-major, coalition row 0 = full cloud),
+and the same sign convention (dv = v(j masked) − v(j−1 masked)).
+
+Skips when the reference tree is absent.  PointNet keeps the oracle cheap
+and selection-free (no neighbour ties), so remaining deltas are pure
+accumulation precision.
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+
+REF_ROOT = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF_ROOT, "tools")),
+    reason="reference tree not available for parity oracle")
+
+N, R, S, BS = 1024, 32, 4, 2
+
+
+@pytest.fixture(scope="module", autouse=True)
+def fp32_matmuls():
+    prev = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    yield
+    jax.config.update("jax_default_matmul_precision",
+                      prev if prev is not None else "default")
+
+
+def _ref_engine():
+    sys.path.insert(0, REF_ROOT)
+    try:
+        import tools.final_common as fc
+    finally:
+        sys.path.remove(REF_ROOT)
+    return fc
+
+
+def test_shapley_values_match_reference_engine():
+    import torch
+
+    from test_parity_torch import _build_torch_model
+
+    from interpret_quality_tpu.attrib import ShapleyEngine
+    from interpret_quality_tpu.data.datasets import (
+        SyntheticClouds, farthest_point_sample_np)
+    from interpret_quality_tpu.models import build_model, make_forward_fn
+    from interpret_quality_tpu.models.torch_convert import convert_state_dict
+
+    fc = _ref_engine()
+
+    cloud, _ = SyntheticClouds(num_samples=1, num_points=N)[0]
+    cloud = np.asarray(cloud, np.float32)
+    centers = farthest_point_sample_np(cloud, R)
+    region_id = ((cloud[:, None, :] - cloud[centers][None, :, :]) ** 2
+                 ).sum(-1).argmin(axis=1).astype(np.int64)
+    rng = np.random.RandomState(7)
+    orders = np.stack([rng.permutation(R) for _ in range(S)])
+    label = 3
+
+    # ---- reference: torch-CPU, its own masking loop + reward ----------
+    tm = _build_torch_model("pointnet")
+    ref_args = types.SimpleNamespace(
+        model="pointnet", num_points=N, num_regions=R,
+        shapley_batch_size=BS, num_samples=S, softmax_type="modified")
+    with torch.no_grad():
+        ref_sv, ref_logits = fc.shap_sampling_all_regions_batch(
+            tm, torch.from_numpy(cloud[None]), torch.tensor([label]),
+            region_id, orders, ref_args)
+    ref_logits = ref_logits.numpy()
+
+    # ---- ours: converted weights, keep-matrix engine -------------------
+    variables = convert_state_dict("pointnet", tm.state_dict())
+    model = build_model("pointnet", num_classes=10, k=20)
+    fwd = make_forward_fn(model, variables)
+    engine = ShapleyEngine(fwd, num_regions=R, softmax_type="modified",
+                           batch_orders=BS)
+    sv, logits = engine.shapley_for_pose(cloud, label, region_id, orders,
+                                         return_logits=True)
+
+    assert ref_logits.shape == logits.shape == (S * (R + 1), 10)
+    np.testing.assert_allclose(logits, ref_logits, rtol=1e-3, atol=2e-4)
+    # Shapley values are means over S of differences of log-odds rewards;
+    # same sign convention and same permutation-to-row bookkeeping.
+    np.testing.assert_allclose(sv, ref_sv, rtol=1e-3, atol=2e-4)
+    # sanity: the estimate is non-degenerate (random-init log-odds move
+    # little under masking; ~1e-4..1e-3 is the observed scale)
+    assert np.abs(ref_sv).max() > 1e-4
+
+
+def test_norm_factor_matches_reference_definition():
+    """norm_factor = v(full) − v(all-masked) (final_shapley_value.py):
+    check our norm_factor() against the reference reward on the same
+    torch-converted model."""
+    import torch
+
+    from test_parity_torch import _build_torch_model
+
+    from interpret_quality_tpu.attrib.shapley import norm_factor
+    from interpret_quality_tpu.data.datasets import SyntheticClouds
+    from interpret_quality_tpu.models import build_model, make_forward_fn
+    from interpret_quality_tpu.models.torch_convert import convert_state_dict
+
+    fc = _ref_engine()
+
+    cloud, _ = SyntheticClouds(num_samples=1, num_points=N)[0]
+    cloud = np.asarray(cloud, np.float32)
+    label = 3
+    tm = _build_torch_model("pointnet")
+    args = types.SimpleNamespace(model="pointnet", softmax_type="modified")
+    t = torch.from_numpy(cloud[None])
+    center = t.mean(dim=1, keepdim=True).expand_as(t)
+    with torch.no_grad():
+        v_full, _ = fc.cal_reward(tm, t, torch.tensor([label]), args)
+        v_empty, _ = fc.cal_reward(tm, center.contiguous(),
+                                   torch.tensor([label]), args)
+    ref_nf = float(v_full[0] - v_empty[0])
+
+    variables = convert_state_dict("pointnet", tm.state_dict())
+    model = build_model("pointnet", num_classes=10, k=20)
+    fwd = make_forward_fn(model, variables)
+    nf = float(norm_factor(fwd, cloud, label, softmax_type="modified"))
+    np.testing.assert_allclose(nf, ref_nf, rtol=1e-3, atol=2e-4)
