@@ -101,6 +101,77 @@ def test_shapley_values_match_reference_engine():
     assert np.abs(ref_sv).max() > 1e-4
 
 
+def _ref_module(name):
+    import importlib
+    sys.path.insert(0, REF_ROOT)
+    try:
+        return importlib.import_module(name)
+    finally:
+        sys.path.remove(REF_ROOT)
+
+
+def test_interactions_match_reference_engine():
+    """Reference compute_order_interaction_logits + compute_order_interaction
+    (final_point_binary_interaction_logits.py:15-70,
+    final_cal_interactions.py:14-39) vs our InteractionEngine +
+    compute_order_interaction on identical weights/pairs/contexts: the
+    quadruple row order [S∪{i,j}, S∪{i}, S∪{j}, S], the centre-masking and
+    the I-score must all match."""
+    import torch
+
+    from test_parity_torch import _build_torch_model
+
+    from interpret_quality_tpu.attrib.interactions import (
+        InteractionEngine, compute_order_interaction)
+    from interpret_quality_tpu.data.datasets import (
+        SyntheticClouds, farthest_point_sample_np)
+    from interpret_quality_tpu.models import build_model, make_forward_fn
+    from interpret_quality_tpu.models.torch_convert import convert_state_dict
+
+    ref_logits_mod = _ref_module("final_point_binary_interaction_logits")
+    ref_cal_mod = _ref_module("final_cal_interactions")
+
+    cloud, _ = SyntheticClouds(num_samples=1, num_points=N)[0]
+    cloud = np.asarray(cloud, np.float32)
+    centers = farthest_point_sample_np(cloud, R)
+    region_id = ((cloud[:, None, :] - cloud[centers][None, :, :]) ** 2
+                 ).sum(-1).argmin(axis=1).astype(np.int64)
+    label = 3
+
+    P, C, m = 3, 4, 5
+    rng = np.random.RandomState(11)
+    pairs = np.stack([rng.choice(R, 2, replace=False) for _ in range(P)])
+    contexts = np.stack([
+        np.stack([rng.choice([r for r in range(R) if r not in pairs[p]],
+                             m, replace=False) for _ in range(C)])
+        for p in range(P)])                                 # (P, C, m)
+
+    tm = _build_torch_model("pointnet")
+    ref_args = types.SimpleNamespace(
+        model="pointnet", num_points=N, num_regions=R,
+        interaction_batch_size=3,       # non-divisor: ragged final batch
+        softmax_type="modified")
+    with torch.no_grad():
+        ref_logits = ref_logits_mod.compute_order_interaction_logits(
+            tm, torch.from_numpy(cloud[None]), region_id, pairs, contexts,
+            ref_args)
+        ref_scores = ref_cal_mod.compute_order_interaction(
+            ref_logits, torch.tensor([label]), ref_args)
+    ref_logits = ref_logits.numpy()
+
+    variables = convert_state_dict("pointnet", tm.state_dict())
+    model = build_model("pointnet", num_classes=10, k=20)
+    fwd = make_forward_fn(model, variables)
+    engine = InteractionEngine(fwd, num_regions=R, batch_contexts=5)
+    logits = engine.logits_for_pairs(cloud, region_id, pairs, contexts)
+
+    assert logits.shape == ref_logits.shape == (P, 4 * C, 10)
+    np.testing.assert_allclose(logits, ref_logits, rtol=1e-3, atol=2e-4)
+    scores = compute_order_interaction(logits, label, "modified")
+    assert scores.shape == ref_scores.shape == (P, C)
+    np.testing.assert_allclose(scores, ref_scores, rtol=1e-3, atol=2e-4)
+
+
 def test_norm_factor_matches_reference_definition():
     """norm_factor = v(full) − v(all-masked) (final_shapley_value.py):
     check our norm_factor() against the reference reward on the same
