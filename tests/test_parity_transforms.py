@@ -1,0 +1,143 @@
+"""Perturbation-grid and transform parity against the reference scripts.
+
+Imports the reference's own grid generators, disturb functions and the
+115-line hand-written rotation VJP (read-only from /root/reference) and
+checks ours — including `jax.grad` through the Rodrigues construction vs
+the manual torch backward — element-for-element.  Skips when the
+reference tree is absent.
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF_ROOT = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF_ROOT, "tools")),
+    reason="reference tree not available for parity oracle")
+
+
+def _ref_module(name):
+    import importlib
+    sys.path.insert(0, REF_ROOT)
+    try:
+        return importlib.import_module(name)
+    finally:
+        sys.path.remove(REF_ROOT)
+
+
+def test_trans_grid_matches_reference():
+    m = _ref_module("final_trans_center_enum_all")
+    args = types.SimpleNamespace(trans_dist_threshold=m.TRANS_DIST_THRESHOLD,
+                                 num_grid_enum_trans=m.NUM_GRID_ENUM_TRANS)
+    ref = m.generate_trans_vector(args, "cpu").numpy()
+
+    from interpret_quality_tpu.attrib.perturbations import \
+        generate_trans_vector
+    ours = generate_trans_vector()
+    assert ours.shape == ref.shape == (m.NUM_GRID_ENUM_TRANS ** 3, 3)
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-6)
+    # the L2 clip actually binds on the grid corners
+    assert np.linalg.norm(ref, axis=1).max() <= m.TRANS_DIST_THRESHOLD + 1e-6
+
+
+def test_rotate_grid_matches_reference():
+    m = _ref_module("final_rotate_center_enum_all")
+    args = types.SimpleNamespace(angle_threshold=m.ANGLE_THRESHOLD,
+                                 num_grid_enum_rotate=m.NUM_GRID_ENUM_ROTATE)
+    ref = m.generate_rotate_angle(args, "cpu").numpy()
+
+    from interpret_quality_tpu.attrib.perturbations import \
+        generate_rotate_angle
+    ours = generate_rotate_angle()
+    assert ours.shape == ref.shape == (m.NUM_GRID_ENUM_ROTATE ** 3, 3)
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-6)
+
+
+def test_scale_grid_matches_reference():
+    m = _ref_module("final_scale_center_enum_all")
+    args = types.SimpleNamespace(scale_lower=m.SCALE_LOWER,
+                                 scale_upper=m.SCALE_UPPER,
+                                 num_grid_enum_scale=m.NUM_GRID_ENUM_SCALE)
+    ref = m.generate_scale(args, "cpu").numpy()
+
+    from interpret_quality_tpu.attrib.perturbations import generate_scale
+    ours = generate_scale()
+    assert ours.shape == ref.shape == (m.NUM_GRID_ENUM_SCALE,)
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-6)
+
+
+def test_disturb_fns_match_reference():
+    import torch
+    mt = _ref_module("final_trans_center_enum_all")
+    mr = _ref_module("final_rotate_center_enum_all")
+    ms = _ref_module("final_scale_center_enum_all")
+
+    from interpret_quality_tpu.ops.transforms import (rotate_xyz, scale_pc,
+                                                      translate_pc)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 64, 3).astype(np.float32)
+    trans = rng.randn(3).astype(np.float32)
+    angles = rng.uniform(-np.pi / 4, np.pi / 4, 3).astype(np.float32)
+    scale = np.float32(1.37)
+
+    np.testing.assert_allclose(
+        np.asarray(translate_pc(jnp.asarray(x), jnp.asarray(trans))),
+        mt.translate_pc(torch.from_numpy(x), torch.from_numpy(trans)).numpy(),
+        rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(scale_pc(jnp.asarray(x), scale)),
+        ms.scale_pc(torch.from_numpy(x), torch.tensor(scale)).numpy(),
+        rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(rotate_xyz(jnp.asarray(x), jnp.asarray(angles))),
+        mr.rotate_xyz(torch.from_numpy(x), torch.from_numpy(angles)).numpy(),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_rot_angle_axis_grad_matches_manual_vjp():
+    """`jax.grad` through our Rodrigues rot_angle_axis vs the reference's
+    hand-written torch VJP (tools/final_util.py:287-401), on the same
+    weighted-sum loss, for all four inputs."""
+    import torch
+    fu = _ref_module("tools.final_util")
+
+    from interpret_quality_tpu.ops.transforms import rot_angle_axis
+
+    B, N = 2, 32
+    rng = np.random.RandomState(3)
+    x = rng.randn(B, N, 3).astype(np.float32)
+    angle = rng.uniform(-1, 1, B).astype(np.float32)
+    theta = rng.uniform(0.2, 2.8, B).astype(np.float32)
+    phi = rng.uniform(-3, 3, B).astype(np.float32)
+    w = rng.randn(B, N, 3).astype(np.float32)
+
+    tx = torch.tensor(x, requires_grad=True)
+    ta = torch.tensor(angle, requires_grad=True)
+    tt = torch.tensor(theta, requires_grad=True)
+    tp = torch.tensor(phi, requires_grad=True)
+    ref_out = fu.rot_angle_axis.apply(tx, ta, tt, tp)
+    (ref_out * torch.from_numpy(w)).sum().backward()
+
+    def loss(x_, a_, t_, p_):
+        return (rot_angle_axis(x_, a_, t_, p_) * w).sum()
+
+    out = rot_angle_axis(jnp.asarray(x), jnp.asarray(angle),
+                         jnp.asarray(theta), jnp.asarray(phi))
+    np.testing.assert_allclose(np.asarray(out), ref_out.detach().numpy(),
+                               rtol=1e-5, atol=1e-5)
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        jnp.asarray(x), jnp.asarray(angle), jnp.asarray(theta),
+        jnp.asarray(phi))
+    for got, ref, name in zip(
+            grads, (tx.grad, ta.grad, tt.grad, tp.grad),
+            ("x", "angle", "theta", "phi")):
+        np.testing.assert_allclose(np.asarray(got), ref.numpy(),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
