@@ -1,0 +1,115 @@
+"""Tables 2-4 math parity against the reference final_result.py.
+
+The reference table functions take artifact folders / arrays, so they can
+be driven directly on synthetic artifacts: write random
+region_shapley_value.npy trees, run the reference's cal_sensitivity /
+pearson pipeline / cal_shapley_smoothness_metric_single_pc (imported
+read-only from /root/reference; matplotlib agg) and ours on the same
+bytes, and require identical numbers.  Skips when the reference tree is
+absent.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF_ROOT = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF_ROOT, "tools")),
+    reason="reference tree not available for parity oracle")
+
+R = 32
+
+
+def _ref_module(name):
+    import importlib
+    sys.path.insert(0, REF_ROOT)
+    try:
+        return importlib.import_module(name)
+    finally:
+        sys.path.remove(REF_ROOT)
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    """Two fake samples with trans/rotate + linearity inc/dec artifacts,
+    laid out at the canonical exp_folder path so config-driven callers
+    resolve them too."""
+    import pathlib
+
+    from interpret_quality_tpu.config import ExperimentConfig
+
+    tmp = tmp_path_factory.mktemp("tables")
+    cfg = ExperimentConfig(model="pointnet", dataset="modelnet10",
+                           checkpoints_root=str(tmp))
+    root = pathlib.Path(cfg.exp_folder)
+    rng = np.random.RandomState(5)
+    names = ["s0", "s1"]
+    for name in names:
+        base = root / name
+        for mode, poses in (("trans", 216), ("rotate", 216)):
+            d = base / f"{mode}_all"
+            d.mkdir(parents=True)
+            np.save(d / "region_shapley_value.npy",
+                    rng.randn(poses, R) * 0.01)
+        for obj, poses in (("inc", 7), ("dec", 5)):
+            d = base / "linearity_all" / f"allregion_{obj}"
+            d.mkdir(parents=True)
+            np.save(d / "region_shapley_value.npy",
+                    rng.randn(poses, R) * 0.01)
+    return str(root) + "/", names, cfg
+
+
+def test_sensitivity_matches_reference(tree):
+    ref = _ref_module("final_result")
+    from interpret_quality_tpu.results.tables import cal_sensitivity
+
+    root, names, _ = tree
+    for name in names:
+        base = root + name + "/"
+        for mode in ("trans", "rotate", "linearity"):
+            np.testing.assert_allclose(cal_sensitivity(base, mode),
+                                       ref.cal_sensitivity(base, mode),
+                                       rtol=1e-12, err_msg=(name, mode))
+
+
+def test_correlation_matches_reference(tree):
+    """Our cal_correlation_coef vs the reference recipe (per-sample
+    Pearson r of sensitivity vs mean |phi| intensity) on the same tree."""
+    from scipy.stats import pearsonr
+
+    ref = _ref_module("final_result")
+    from interpret_quality_tpu.results.tables import cal_correlation_coef
+
+    root, names, cfg = tree
+    rs = []
+    for name in names:
+        base = root + name + "/"
+        sens = ref.cal_sensitivity(base, "trans")
+        sv = np.load(base + "trans_all/region_shapley_value.npy")
+        intensity = np.mean(np.abs(sv), axis=0)
+        rs.append(pearsonr(sens, intensity)[0])
+    mean, std = cal_correlation_coef(cfg, "trans", names)
+    np.testing.assert_allclose(mean, np.mean(rs), rtol=1e-12)
+    np.testing.assert_allclose(std, np.std(rs, ddof=1), rtol=1e-12)
+
+
+def test_smoothness_single_pc_matches_reference():
+    ref = _ref_module("final_result")
+    ref.num_regions = R            # module global the reference sets in main
+
+    from interpret_quality_tpu.results.tables import \
+        cal_shapley_smoothness_metric_single_pc
+
+    rng = np.random.RandomState(9)
+    data = rng.randn(256, 3).astype(np.float32)
+    region_id = rng.randint(0, R, 256)
+    region_id[:R] = np.arange(R)   # every region non-empty
+    sv = rng.randn(5, R) * 0.01
+
+    got = cal_shapley_smoothness_metric_single_pc(data, sv, region_id, R)
+    want = ref.cal_shapley_smoothness_metric_single_pc(data, sv, region_id)
+    for g, w, label in zip(got, want, ("metric", "per_pose", "denominator")):
+        np.testing.assert_allclose(g, w, rtol=1e-6, err_msg=label)
