@@ -141,3 +141,28 @@ def test_rot_angle_axis_grad_matches_manual_vjp():
             ("x", "angle", "theta", "phi")):
         np.testing.assert_allclose(np.asarray(got), ref.numpy(),
                                    rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_cal_loss_and_rank_match_reference():
+    """Label-smoothing CE (eps=0.2, mass spread over the other classes) and
+    the double-argsort rank, vs tools/final_util.py:71-105."""
+    import torch
+    fu = _ref_module("tools.final_util")
+
+    from interpret_quality_tpu.train.losses import cal_loss
+    from interpret_quality_tpu.utils.rng import cal_rank
+
+    rng = np.random.RandomState(1)
+    logits = rng.randn(16, 10).astype(np.float32)
+    labels = rng.randint(0, 10, 16)
+    for smoothing in (True, False):
+        ref = float(fu.cal_loss(torch.from_numpy(logits),
+                                torch.from_numpy(labels),
+                                smoothing=smoothing))
+        got = float(cal_loss(jnp.asarray(logits), jnp.asarray(labels),
+                             smoothing=smoothing))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"smoothing={smoothing}")
+
+    vals = rng.randn(32)
+    np.testing.assert_array_equal(cal_rank(vals), fu.cal_rank(vals))
