@@ -24,12 +24,14 @@ import numpy as np
 from ..ops.transforms import rot_angle_axis
 from .losses import cal_loss
 
+# BIM attack schedule: reference main_cls_adv.py:312-317 argparse defaults,
+# which scripts/train_models.sh uses verbatim for the adv-GCNN recipe.
 ROT_ADV_ITER = 7
-ROT_ADV_STEP = math.pi / 16
-ROT_ADV_THRESHOLD = math.pi / 4
+ROT_ADV_STEP = math.pi / 10
+ROT_ADV_THRESHOLD = math.pi / 2
 TRANS_ADV_ITER = 3
-TRANS_ADV_STEP = 0.1
-TRANS_ADV_THRESHOLD = 0.2
+TRANS_ADV_STEP = 0.4
+TRANS_ADV_THRESHOLD = 1.0
 
 
 def bim_rotation_attack(loss_of_cloud: Callable, data: jnp.ndarray,

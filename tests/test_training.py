@@ -68,7 +68,9 @@ def test_bim_translation_attack_within_ball():
     shift = np.asarray(adv - data)
     # one shared translation per cloud
     assert np.abs(shift - shift[:, :1]).max() < 1e-5
-    assert (np.linalg.norm(shift[:, 0], axis=-1) <= 0.2 + 1e-5).all()
+    from interpret_quality_tpu.train.adversarial import TRANS_ADV_THRESHOLD
+    assert (np.linalg.norm(shift[:, 0], axis=-1)
+            <= TRANS_ADV_THRESHOLD + 1e-5).all()
 
 
 def test_fit_one_epoch_synthetic():
