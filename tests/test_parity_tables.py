@@ -113,3 +113,24 @@ def test_smoothness_single_pc_matches_reference():
     want = ref.cal_shapley_smoothness_metric_single_pc(data, sv, region_id)
     for g, w, label in zip(got, want, ("metric", "per_pose", "denominator")):
         np.testing.assert_allclose(g, w, rtol=1e-6, err_msg=label)
+
+
+def test_folder_name_lists_match_reference():
+    """Eval-sample naming contract (final_util.py:265-283): identical
+    30-name lists for both datasets from the same misc/ files."""
+    import types
+
+    fu = _ref_module("tools.final_util")
+    from interpret_quality_tpu.data.datasets import get_folder_name_list
+
+    repo_misc = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "misc")
+    cwd = os.getcwd()
+    os.chdir(REF_ROOT)          # reference reads './misc' relative paths
+    try:
+        for ds in ("modelnet10", "shapenet"):
+            ref = fu.get_folder_name_list(types.SimpleNamespace(dataset=ds))
+            got = get_folder_name_list(ds, misc_dir=repo_misc)
+            assert got == ref and len(got) == 30, ds
+    finally:
+        os.chdir(cwd)
