@@ -169,3 +169,44 @@ def test_folder_name_list(shapenet_tree):
     _, misc = shapenet_tree
     names = get_folder_name_list("shapenet", misc_dir=misc)
     assert names[0] == "Bag_aaaa0001" and len(names) == 3
+
+
+def test_shapenet_eval_loader_matches_reference_dataset(shapenet_tree,
+                                                        monkeypatch):
+    """Oracle: the reference's ShapeNetDataset_Shapley_test
+    (final_data_shapley.py:95-179, torch-CPU, imported read-only from
+    /root/reference) over the same fixture tree yields byte-identical
+    clouds, labels and sample ordering."""
+    import importlib
+    import sys
+
+    ref_root = "/root/reference"
+    if not os.path.isdir(os.path.join(ref_root, "tools")):
+        pytest.skip("reference tree not available")
+
+    root, misc = shapenet_tree
+    base = os.path.join(root,
+                        "shapenetcore_partanno_segmentation_benchmark_v0")
+    # the reference also needs the catfile and a CWD-relative misc/
+    with open(os.path.join(base, "synsetoffset2category.txt"), "w") as f:
+        f.write("Bag\t02773838\nKnife\t03624134\n")
+    workdir = os.path.dirname(root)      # tmp_path: already contains misc/
+
+    sys.path.insert(0, ref_root)
+    try:
+        ref_mod = importlib.import_module("final_data_shapley")
+    finally:
+        sys.path.remove(ref_root)
+
+    monkeypatch.chdir(workdir)
+    ref_ds = ref_mod.ShapeNetDataset_Shapley_test(
+        None, root=base, npoints=256, classification=True,
+        class_choice=("Bag", "Knife"), split="train")
+    ours = ShapeNetShapleyEval(data_root=root, num_points=256,
+                               misc_dir=misc, class_choice=("Bag", "Knife"))
+    assert len(ref_ds) == len(ours) == 3
+    for i in range(3):
+        ref_pc, ref_cls = ref_ds[i]
+        pc, cls = ours[i]
+        assert int(ref_cls) == cls, i
+        np.testing.assert_array_equal(pc, ref_pc.numpy(), err_msg=str(i))
