@@ -18,7 +18,11 @@ def translate_pointcloud(pointcloud: np.ndarray) -> np.ndarray:
 
 def jitter_pointcloud(pointcloud: np.ndarray, sigma=0.01, clip=0.02) -> np.ndarray:
     N, C = pointcloud.shape
-    return pointcloud + np.clip(sigma * np.random.randn(N, C), -clip, clip)
+    # float32 like the reference's in-place `+=` (keeps the artifact dtype
+    # and halves the host->device upload vs a float64 result)
+    return (pointcloud
+            + np.clip(sigma * np.random.randn(N, C), -clip, clip)
+            ).astype(np.float32)
 
 
 def scale_pointcloud(pointcloud: np.ndarray) -> np.ndarray:

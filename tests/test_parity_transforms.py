@@ -166,3 +166,31 @@ def test_cal_loss_and_rank_match_reference():
 
     vals = rng.randn(32)
     np.testing.assert_array_equal(cal_rank(vals), fu.cal_rank(vals))
+
+
+def test_augmentations_match_reference_under_shared_seed():
+    """Our host augmentations reproduce the reference's
+    (final_data_train.py:48-139) bit-for-bit: same global-np.random draw
+    order, so identical seeds give identical outputs."""
+    fd = _ref_module("final_data_train")
+    from interpret_quality_tpu.data import augment as au
+
+    pairs = [
+        (fd.translate_pointcloud, au.translate_pointcloud),
+        (fd.jitter_pointcloud, au.jitter_pointcloud),
+        (fd.scale_pointcloud, au.scale_pointcloud),
+        (fd.rotate_perturbation_point_cloud,
+         au.rotate_perturbation_point_cloud),
+        (fd.rotate_point_cloud_z, au.rotate_point_cloud_z),
+        (fd.rotate_point_cloud_y, au.rotate_point_cloud_y),
+        (fd.random_dropout_pointcloud, au.random_dropout_pointcloud),
+    ]
+    base = np.random.RandomState(13).randn(128, 3).astype(np.float32)
+    for ref_fn, our_fn in pairs:
+        np.random.seed(99)
+        ref = np.asarray(ref_fn(base.copy()))
+        np.random.seed(99)
+        got = np.asarray(our_fn(base.copy()))
+        np.testing.assert_array_equal(got.astype(np.float64),
+                                      ref.astype(np.float64),
+                                      err_msg=ref_fn.__name__)
