@@ -210,3 +210,65 @@ def test_shapenet_eval_loader_matches_reference_dataset(shapenet_tree,
         pc, cls = ours[i]
         assert int(ref_cls) == cls, i
         np.testing.assert_array_equal(pc, ref_pc.numpy(), err_msg=str(i))
+
+
+def test_modelnet_train_loader_matches_reference_dataset(tmp_path,
+                                                         monkeypatch):
+    """Oracle: the reference's ModelNet_Loader (final_data_train.py:10-46,
+    143-180) over a fixture modelnet10_numpy tree yields bit-identical
+    sampled+augmented clouds and labels under a shared np.random seed."""
+    import importlib
+    import sys
+    import types
+
+    ref_root = "/root/reference"
+    if not os.path.isdir(os.path.join(ref_root, "tools")):
+        pytest.skip("reference tree not available")
+
+    from interpret_quality_tpu.data.datasets import (MODELNET10_SHAPES,
+                                                     ModelNetTrain)
+
+    # fixture tree in the reference's on-disk layout
+    ddir = tmp_path / "data" / "modelnet10_numpy"
+    rng = np.random.RandomState(2)
+    names = ["chair_0001", "toilet_0003"]
+    (ddir).mkdir(parents=True)
+    (ddir / "modelnet10_shape_names.txt").write_text(
+        "\n".join(MODELNET10_SHAPES) + "\n")
+    (ddir / "modelnet10_train.txt").write_text("\n".join(names) + "\n")
+    for name in names:
+        folder = name[:-5]
+        (ddir / folder).mkdir(exist_ok=True)
+        np.save(ddir / folder / f"{name}.npy",
+                rng.randn(2000, 6).astype(np.float32))
+
+    sys.path.insert(0, ref_root)
+    try:
+        fd = importlib.import_module("final_data_train")
+    finally:
+        sys.path.remove(ref_root)
+
+    # the reference hardcodes BASE_DIR = dirname(__file__); point it at the
+    # fixture for the duration of the dataset construction
+    real_dirname = os.path.dirname
+    monkeypatch.setattr(fd.os.path, "dirname",
+                        lambda p: (str(tmp_path) if p == fd.__file__
+                                   else real_dirname(p)))
+    opt = types.SimpleNamespace(drop_point=True, train_rot_y_perturbation=True,
+                                train_rot_all_perturbation=True)
+    ref_ds = fd.ModelNet_Loader(opt, num_points=128, partition="train")
+    monkeypatch.undo()
+
+    ours = ModelNetTrain(data_root=str(tmp_path / "data"), num_points=128,
+                         partition="train", drop_point=True, rot_y=True,
+                         rot_all=True)
+    assert len(ref_ds) == len(ours) == 2
+    for i in range(2):
+        np.random.seed(17 + i)
+        ref_pc, ref_lbl = ref_ds[i]
+        np.random.seed(17 + i)
+        pc, lbl = ours[i]
+        assert lbl == ref_lbl, i
+        np.testing.assert_array_equal(np.asarray(pc, np.float64),
+                                      np.asarray(ref_pc, np.float64),
+                                      err_msg=str(i))
