@@ -134,3 +134,44 @@ def test_folder_name_lists_match_reference():
             assert got == ref and len(got) == 30, ds
     finally:
         os.chdir(cwd)
+
+
+def test_gen_pair_sampling_matches_reference_under_shared_seed(tmp_path):
+    """Pair sampling, context sampling (incl. the enumerate-vs-sample
+    switch) and single-region pair construction reproduce the reference's
+    np.random draw order bit-for-bit (final_gen_pair.py:18-43,127-144,
+    288-300), so seeded artifact files are identical."""
+    import types
+
+    gp = _ref_module("final_gen_pair")
+    from interpret_quality_tpu.attrib.interactions import (
+        gen_context, gen_pair_random, gen_pair_single_region)
+
+    args = types.SimpleNamespace(num_regions=R, num_pairs_random=12,
+                                 num_save_context_max=6,
+                                 ratio=[0.0, 0.1, 0.5, 1.0])
+
+    np.random.seed(21)
+    ref_pairs = gp.gen_pair_random(args)
+    np.random.seed(21)
+    pairs = gen_pair_random(R, 12)
+    np.testing.assert_array_equal(pairs, ref_pairs)
+
+    ref_dir = str(tmp_path / "ref") + "/"
+    our_dir = str(tmp_path / "ours") + "/"
+    os.makedirs(ref_dir), os.makedirs(our_dir)
+    np.random.seed(22)
+    gp.gen_context(ref_pairs, ref_dir, args)
+    np.random.seed(22)
+    gen_context(pairs, our_dir, R, ratios=args.ratio,
+                num_save_context_max=args.num_save_context_max)
+    for ratio in args.ratio:
+        f = "ratio%d_context_list.npy" % int(ratio * 100)
+        np.testing.assert_array_equal(np.load(our_dir + f),
+                                      np.load(ref_dir + f), err_msg=f)
+
+    neighbor = np.zeros((R, R), bool)
+    neighbor[3, [1, 3, 7, 20]] = True
+    ref_sr = gp.gen_pair_single_region(3, neighbor, args)
+    got_sr = gen_pair_single_region(3, neighbor, R)
+    np.testing.assert_array_equal(got_sr, ref_sr)
