@@ -272,3 +272,45 @@ def test_make_compare_md_script(cfg, workdir, monkeypatch):
     assert "| dgcnn |" not in text                 # missing tree skipped
     for needle in ("Table 2", "Table 3", "Table 4"):
         assert needle in text, needle
+
+
+def test_result_cli_all_models(cfg, capsys, monkeypatch):
+    """--all_models sweeps every family, skipping families without
+    artifact trees (reference final_result.py model='all' view)."""
+    import sys
+
+    from interpret_quality_tpu.cli import result
+
+    monkeypatch.setattr(sys, "argv",
+                        _cli_args(cfg, "--result_mode", "sensitivity",
+                                  "--samples", "0,1", "--all_models"))
+    result.main()
+    out = capsys.readouterr().out
+    assert "model: pointnet, exp: trans" in out
+    assert "model: dgcnn" not in out        # no dgcnn artifacts in this tree
+
+
+def test_plot_interaction_cli_composite(cfg, workdir, monkeypatch):
+    """plot_mode=single_region_vs_normal_avg writes the per-model aggregate
+    .npy files, then plot_mode=all builds the composite with the present
+    panel and skips the missing ones."""
+    import sys
+
+    from interpret_quality_tpu.cli import plot_interaction
+
+    fig_root = workdir + "/figures_all"
+    monkeypatch.setattr(sys, "argv", _cli_args(
+        cfg, "--plot_mode", "single_region_vs_normal_avg", "--mode",
+        "rotate", "--samples", "0,1", "--fig_root", fig_root))
+    plot_interaction.main()
+    agg = (fig_root + f"/interaction_final_{cfg.dataset}/"
+           f"{cfg.model}_{cfg.dataset}_mean_inter_normal.npy")
+    assert os.path.exists(agg)
+
+    monkeypatch.setattr(sys, "argv", _cli_args(
+        cfg, "--plot_mode", "all", "--fig_root", fig_root))
+    plot_interaction.main()
+    import glob
+    assert glob.glob(fig_root + "/**/*inter_in_one*", recursive=True) or \
+        glob.glob(fig_root + "/**/*.pdf", recursive=True) or \
+        glob.glob(fig_root + "/**/*.png", recursive=True)
