@@ -98,24 +98,32 @@ class TrainState:
         return {"params": self.params, "batch_stats": self.batch_stats}
 
 
+def lr_schedule_for(model_name: str, steps_per_epoch: int, epochs: int,
+                    base_lr: float = 1e-3):
+    """Per-family learning-rate schedule (reference main_cls_seed.py:80-96:
+    Adam+StepLR(20, 0.7) / SGD lr*10+StepLR(30, 0.7) /
+    SGD lr*100+CosineAnnealingLR(epochs, eta_min=1e-3))."""
+    if model_name in ("pointnet", "pointnet2"):
+        return optax.exponential_decay(base_lr, 20 * steps_per_epoch, 0.7,
+                                       staircase=True)
+    elif model_name == "pointconv":
+        return optax.exponential_decay(base_lr * 10, 30 * steps_per_epoch,
+                                       0.7, staircase=True)
+    init = base_lr * 100                  # dgcnn / gcnn / gcnn_adv
+    return optax.cosine_decay_schedule(init, epochs * steps_per_epoch,
+                                       alpha=1e-3 / init)
+
+
 def make_optimizer(model_name: str, steps_per_epoch: int,
                    epochs: Optional[int] = None, base_lr: float = 1e-3,
                    momentum: float = 0.9, weight_decay: float = 1e-4):
     """Reference per-model optimizer + schedule (L2 is torch-style: added to
     the gradient before the moment updates, not decoupled)."""
     epochs = epochs or EPOCHS_BY_MODEL[model_name]
+    lr = lr_schedule_for(model_name, steps_per_epoch, epochs, base_lr)
     if model_name in ("pointnet", "pointnet2"):
-        lr = optax.exponential_decay(base_lr, 20 * steps_per_epoch, 0.7,
-                                     staircase=True)
         grad_tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
-    elif model_name == "pointconv":
-        lr = optax.exponential_decay(base_lr * 10, 30 * steps_per_epoch, 0.7,
-                                     staircase=True)
-        grad_tx = optax.trace(decay=momentum)
-    else:  # dgcnn / gcnn / gcnn_adv
-        init = base_lr * 100
-        lr = optax.cosine_decay_schedule(init, epochs * steps_per_epoch,
-                                         alpha=1e-3 / init)
+    else:
         grad_tx = optax.trace(decay=momentum)
     return optax.chain(
         optax.add_decayed_weights(weight_decay),

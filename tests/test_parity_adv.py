@@ -168,3 +168,38 @@ def test_bim_loops_match_reference_update_equations():
         loss_of_cloud, jnp.asarray(got_rot), labels, iterations=it_t,
         step=step_t, threshold=thr_t))
     np.testing.assert_allclose(got_tr, want_tr, rtol=1e-5, atol=1e-5)
+
+
+def test_lr_schedules_match_reference_torch_schedulers():
+    """Per-family LR policy vs the reference's torch schedulers
+    (main_cls_seed.py:80-96): Adam+StepLR(20,0.7), SGD lr*10+StepLR(30,0.7),
+    SGD lr*100+CosineAnnealingLR(eta_min=1e-3), at every epoch boundary."""
+    import torch
+
+    from interpret_quality_tpu.train.trainer import lr_schedule_for
+
+    E = 250
+    ref_policies = {
+        "pointnet": ("step", 1e-3, dict(step_size=20, gamma=0.7)),
+        "pointnet2": ("step", 1e-3, dict(step_size=20, gamma=0.7)),
+        "pointconv": ("step", 1e-2, dict(step_size=30, gamma=0.7)),
+        "dgcnn": ("cos", 1e-1, dict(T_max=E, eta_min=1e-3)),
+        "gcnn": ("cos", 1e-1, dict(T_max=E, eta_min=1e-3)),
+    }
+    for name, (kind, lr0, kw) in ref_policies.items():
+        param = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([param], lr=lr0)
+        if kind == "step":
+            sched = torch.optim.lr_scheduler.StepLR(opt, **kw)
+        else:
+            sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, **kw)
+        ref_lrs = []
+        for _ in range(E):
+            ref_lrs.append(opt.param_groups[0]["lr"])
+            opt.step()
+            sched.step()
+
+        ours = lr_schedule_for(name, steps_per_epoch=1, epochs=E)
+        got = [float(ours(e)) for e in range(E)]
+        np.testing.assert_allclose(got, ref_lrs, rtol=1e-5, atol=1e-9,
+                                   err_msg=name)
