@@ -6,7 +6,7 @@
 # variant runs in a fresh process.
 #
 # Usage: scripts/knn_select_ab.sh [out_log]   (default /tmp/knn_ab.log)
-cd "$(dirname "$0")/.."
+cd "$(dirname "$0")/.." || exit 1
 OUT=${1:-/tmp/knn_ab.log}
 : > "$OUT"
 for V in two_pass argmin; do

@@ -28,3 +28,36 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# Reference-oracle helpers (shared by the test_parity_* modules)
+# ---------------------------------------------------------------------------
+REF_ROOT = "/root/reference"
+HAS_REFERENCE = os.path.isdir(os.path.join(REF_ROOT, "tools"))
+
+
+def ref_module(name):
+    """Import a module from the read-only reference tree by package path."""
+    import importlib
+    sys.path.insert(0, REF_ROOT)
+    try:
+        return importlib.import_module(name)
+    finally:
+        sys.path.remove(REF_ROOT)
+
+
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def fp32_matmuls_ctx():
+    """fp32-exact matmuls for parity vs torch fp32 (wrap in a module-scoped
+    autouse fixture inside each parity module that needs it)."""
+    prev = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        yield
+    finally:
+        jax.config.update("jax_default_matmul_precision",
+                          prev if prev is not None else "default")

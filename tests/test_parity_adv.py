@@ -10,7 +10,6 @@ Two layers of oracle:
 Skips when the reference tree is absent.
 """
 import os
-import sys
 
 import numpy as np
 import pytest
@@ -18,29 +17,19 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-REF_ROOT = "/root/reference"
+import conftest
 
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REF_ROOT, "tools")),
+    not conftest.HAS_REFERENCE,
     reason="reference tree not available for parity oracle")
+_ref_module = conftest.ref_module
 
-
-def _ref_module(name):
-    import importlib
-    sys.path.insert(0, REF_ROOT)
-    try:
-        return importlib.import_module(name)
-    finally:
-        sys.path.remove(REF_ROOT)
 
 
 @pytest.fixture(scope="module", autouse=True)
 def fp32_matmuls():
-    prev = jax.config.jax_default_matmul_precision
-    jax.config.update("jax_default_matmul_precision", "highest")
-    yield
-    jax.config.update("jax_default_matmul_precision",
-                      prev if prev is not None else "default")
+    with conftest.fp32_matmuls_ctx():
+        yield
 
 
 def test_attack_loss_grads_match_torch():

@@ -14,7 +14,6 @@ and selection-free (no neighbour ties), so remaining deltas are pure
 accumulation precision.
 """
 import os
-import sys
 import types
 
 import numpy as np
@@ -22,31 +21,24 @@ import pytest
 
 import jax
 
-REF_ROOT = "/root/reference"
+import conftest
 
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REF_ROOT, "tools")),
+    not conftest.HAS_REFERENCE,
     reason="reference tree not available for parity oracle")
+_ref_module = conftest.ref_module
 
 N, R, S, BS = 1024, 32, 4, 2
 
 
 @pytest.fixture(scope="module", autouse=True)
 def fp32_matmuls():
-    prev = jax.config.jax_default_matmul_precision
-    jax.config.update("jax_default_matmul_precision", "highest")
-    yield
-    jax.config.update("jax_default_matmul_precision",
-                      prev if prev is not None else "default")
+    with conftest.fp32_matmuls_ctx():
+        yield
 
 
 def _ref_engine():
-    sys.path.insert(0, REF_ROOT)
-    try:
-        import tools.final_common as fc
-    finally:
-        sys.path.remove(REF_ROOT)
-    return fc
+    return _ref_module("tools.final_common")
 
 
 def test_shapley_values_match_reference_engine():
@@ -100,14 +92,6 @@ def test_shapley_values_match_reference_engine():
     # little under masking; ~1e-4..1e-3 is the observed scale)
     assert np.abs(ref_sv).max() > 1e-4
 
-
-def _ref_module(name):
-    import importlib
-    sys.path.insert(0, REF_ROOT)
-    try:
-        return importlib.import_module(name)
-    finally:
-        sys.path.remove(REF_ROOT)
 
 
 def test_interactions_match_reference_engine():

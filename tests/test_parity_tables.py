@@ -9,27 +9,19 @@ bytes, and require identical numbers.  Skips when the reference tree is
 absent.
 """
 import os
-import sys
 
 import numpy as np
 import pytest
 
-REF_ROOT = "/root/reference"
+import conftest
 
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REF_ROOT, "tools")),
+    not conftest.HAS_REFERENCE,
     reason="reference tree not available for parity oracle")
+_ref_module = conftest.ref_module
 
 R = 32
 
-
-def _ref_module(name):
-    import importlib
-    sys.path.insert(0, REF_ROOT)
-    try:
-        return importlib.import_module(name)
-    finally:
-        sys.path.remove(REF_ROOT)
 
 
 @pytest.fixture(scope="module")
@@ -126,7 +118,7 @@ def test_folder_name_lists_match_reference():
     repo_misc = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "misc")
     cwd = os.getcwd()
-    os.chdir(REF_ROOT)          # reference reads './misc' relative paths
+    os.chdir(conftest.REF_ROOT)          # reference reads './misc' relative paths
     try:
         for ds in ("modelnet10", "shapenet"):
             ref = fu.get_folder_name_list(types.SimpleNamespace(dataset=ds))

@@ -7,7 +7,6 @@ the manual torch backward — element-for-element.  Skips when the
 reference tree is absent.
 """
 import os
-import sys
 import types
 
 import numpy as np
@@ -16,20 +15,13 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-REF_ROOT = "/root/reference"
+import conftest
 
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REF_ROOT, "tools")),
+    not conftest.HAS_REFERENCE,
     reason="reference tree not available for parity oracle")
+_ref_module = conftest.ref_module
 
-
-def _ref_module(name):
-    import importlib
-    sys.path.insert(0, REF_ROOT)
-    try:
-        return importlib.import_module(name)
-    finally:
-        sys.path.remove(REF_ROOT)
 
 
 def test_trans_grid_matches_reference():

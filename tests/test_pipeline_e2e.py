@@ -310,7 +310,6 @@ def test_plot_interaction_cli_composite(cfg, workdir, monkeypatch):
     monkeypatch.setattr(sys, "argv", _cli_args(
         cfg, "--plot_mode", "all", "--fig_root", fig_root))
     plot_interaction.main()
-    import glob
-    assert glob.glob(fig_root + "/**/*inter_in_one*", recursive=True) or \
-        glob.glob(fig_root + "/**/*.pdf", recursive=True) or \
-        glob.glob(fig_root + "/**/*.png", recursive=True)
+    # plot_all_models writes the composite to <fig_root>_show/
+    assert os.path.exists(
+        fig_root + "_show/interaction_all/interaction_all.pdf")

@@ -73,6 +73,19 @@ def test_bim_translation_attack_within_ball():
             <= TRANS_ADV_THRESHOLD + 1e-5).all()
 
 
+def test_bim_schedule_is_reference_recipe():
+    """Always-on pin of the attack constants (main_cls_adv.py:312-317
+    argparse defaults) — the reference-gated parity module also asserts
+    these, but must not be the only guard."""
+    from interpret_quality_tpu.train import adversarial as adv
+
+    assert adv.ROT_ADV_ITER == 7 and adv.TRANS_ADV_ITER == 3
+    np.testing.assert_allclose(adv.ROT_ADV_STEP, np.pi / 10)
+    np.testing.assert_allclose(adv.ROT_ADV_THRESHOLD, np.pi / 2)
+    np.testing.assert_allclose([adv.TRANS_ADV_STEP, adv.TRANS_ADV_THRESHOLD],
+                               [0.4, 1.0])
+
+
 def test_fit_one_epoch_synthetic():
     from interpret_quality_tpu.data.datasets import SyntheticClouds
     from interpret_quality_tpu.models import build_model, init_model
