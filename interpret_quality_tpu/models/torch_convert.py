@@ -188,3 +188,80 @@ def load_t7(model_name: str, path: str) -> Dict:
     import torch
     state = torch.load(path, map_location="cpu")
     return convert_state_dict(model_name, state)
+
+
+def _get(tree: dict, path: Tuple[str, ...], leaf_name: str):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node[leaf_name]
+
+
+def export_state_dict(model_name: str, variables: Dict,
+                      template: Dict) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_state_dict`: flax variables back to a
+    torch-layout state dict, for running TPU-trained weights through the
+    reference tooling (tools/final_util.py:236-262 load semantics).
+
+    Args:
+      template: a torch state dict (or {key: array}) of the target module —
+        e.g. ``ReferenceModel(args).state_dict()`` — used only for the
+        per-tensor layout (Conv2d (O,I,1,1) / Conv1d (O,I,1) / Linear (O,I))
+        that the 2-D flax kernels cannot encode.  ``module.`` prefixes in
+        the template are reproduced in the output keys.
+    """
+    tpl_raw = {k: _to_np(v) for k, v in template.items()}
+    prefixed = any(k.startswith("module.") for k in tpl_raw)
+    tpl = _strip_module(tpl_raw)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, np.ndarray] = {}
+
+    def put(key: str, value: np.ndarray):
+        if key not in tpl:
+            raise KeyError(f"{key} not in template state dict")
+        if tuple(tpl[key].shape) != tuple(value.shape):
+            raise ValueError(f"{key}: template shape {tpl[key].shape} != "
+                             f"exported {value.shape}")
+        out[("module." + key) if prefixed else key] = np.ascontiguousarray(
+            value.astype(tpl[key].dtype))
+
+    for tprefix, fpath, kind in RULES[model_name]():
+        if kind == "conv":
+            kernel = np.asarray(_get(params, fpath, "kernel")).T  # (out, in)
+            w = kernel.reshape(tpl[f"{tprefix}.weight"].shape)
+            put(f"{tprefix}.weight", w)
+            if f"{tprefix}.bias" in tpl:
+                put(f"{tprefix}.bias", np.asarray(_get(params, fpath, "bias")))
+        elif kind == "bn":
+            put(f"{tprefix}.weight", np.asarray(_get(params, fpath, "scale")))
+            put(f"{tprefix}.bias", np.asarray(_get(params, fpath, "bias")))
+            put(f"{tprefix}.running_mean",
+                np.asarray(_get(stats, fpath, "mean")))
+            put(f"{tprefix}.running_var",
+                np.asarray(_get(stats, fpath, "var")))
+        elif kind == "bn_flat":
+            put(f"{tprefix}.weight",
+                np.asarray(_get(params, fpath, "bn_scale")))
+            put(f"{tprefix}.bias", np.asarray(_get(params, fpath, "bn_bias")))
+            put(f"{tprefix}.running_mean",
+                np.asarray(_get(stats, fpath, "bn_mean")))
+            put(f"{tprefix}.running_var",
+                np.asarray(_get(stats, fpath, "bn_var")))
+        else:
+            raise ValueError(kind)
+    # keys the flax tree does not track (BatchNorm num_batches_tracked):
+    # copy from the template so torch load_state_dict(strict=True) passes
+    for key, value in tpl_raw.items():
+        if key not in out:
+            out[key] = value
+    return out
+
+
+def save_t7(model_name: str, variables: Dict, path: str, template: Dict):
+    """Export flax variables as a torch ``.t7`` the reference can load."""
+    import torch
+    state = {k: torch.from_numpy(v)
+             for k, v in export_state_dict(model_name, variables,
+                                           template).items()}
+    torch.save(state, path)

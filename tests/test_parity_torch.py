@@ -201,3 +201,47 @@ def test_module_prefix_stripped(clouds):
     got = _flax_logits("pointnet", variables, clouds)
     np.testing.assert_allclose(got, _torch_logits(tm, clouds),
                                **TOLS["pointnet"])
+
+
+@pytest.mark.parametrize("name",
+                         ["pointnet", "pointnet2", "pointconv", "dgcnn",
+                          "gcnn"])
+def test_export_roundtrip_bitexact(name):
+    """convert_state_dict -> export_state_dict round-trips every tensor
+    bit-exactly and loads back with torch strict=True, so TPU-trained
+    weights can be run through the reference tooling."""
+    import torch
+
+    from interpret_quality_tpu.models.torch_convert import export_state_dict
+
+    tm = _build_torch_model(name, seed=5)
+    ref_state = tm.state_dict()
+    variables = convert_state_dict(name, ref_state)
+    back = export_state_dict(name, variables, ref_state)
+
+    assert set(back) == set(ref_state)
+    for k in ref_state:
+        np.testing.assert_array_equal(back[k],
+                                      ref_state[k].detach().cpu().numpy(),
+                                      err_msg=k)
+    tm.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                        for k, v in back.items()}, strict=True)
+
+
+def test_export_handles_module_prefix(tmp_path):
+    """DataParallel-style 'module.'-prefixed templates export with the
+    prefix, and save_t7 writes a loadable torch file."""
+    import torch
+
+    from interpret_quality_tpu.models.torch_convert import save_t7
+
+    tm = _build_torch_model("pointnet", seed=6)
+    prefixed = {"module." + k: v for k, v in tm.state_dict().items()}
+    variables = convert_state_dict("pointnet", prefixed)
+    path = str(tmp_path / "exported.t7")
+    save_t7("pointnet", variables, path, prefixed)
+    loaded = torch.load(path, map_location="cpu")
+    assert all(k.startswith("module.") for k in loaded)
+    np.testing.assert_array_equal(
+        loaded["module.fc3.weight"].numpy(),
+        prefixed["module.fc3.weight"].detach().numpy())
