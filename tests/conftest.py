@@ -23,6 +23,18 @@ sys.path.insert(0, _repo)
 os.environ.setdefault("IQTPU_COMPILE_CACHE",
                       os.path.join(_repo, ".jax_cache_cpu"))
 
+# XLA:CPU in-process collectives abort the whole process ("Termination
+# timeout ... exceeded. Exiting to ensure a consistent program state") when
+# the 8 per-device threads miss the default rendezvous deadline — which
+# happens spuriously on small/contended CI hosts (this box has 1 core).
+# Raise the deadlines; a genuinely deadlocked test is still caught by the
+# faulthandler dump + pytest timeout above.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+    + " --xla_cpu_collective_timeout_seconds=3600")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
