@@ -31,7 +31,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import gather_value_parts
-from .neighbors import _dist_tile, _select_min, _split_parts, knn_select_impl
+from .neighbors import (_dist_tile, _select_min, _select_prep, _split_parts,
+                        knn_select_impl)
 
 _BIG = 1e30
 
@@ -294,6 +295,7 @@ def _knn_den_kernel(xq_ref, xdbt_ref, invden_ref, oidx_ref, oden_ref,
     dist = _dist_tile(xq_ref[0], xdbt_ref[0])
     q, n = dist.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
+    dist = _select_prep(dist, col, select)
     invden = invden_ref[0]                                 # (1, N)
     dmax = jnp.full((q, 1), -_BIG, jnp.float32)
     for j in range(k):

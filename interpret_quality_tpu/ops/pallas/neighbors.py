@@ -43,9 +43,19 @@ def knn_select_impl() -> str:
     (value, index) reduction — `jnp.argmin`'s lowest-index tie semantics are
     exactly `jax.lax.top_k`'s, and Mosaic lowers arg-reductions (the FPS
     kernel already relies on `jnp.argmax`).  Both are exact; they differ
-    only in VPU passes per selected neighbour.  Switch with
-    ``IQTPU_KNN_SELECT=argmin|two_pass`` (read at trace time) to A/B on
-    hardware.
+    only in VPU passes per selected neighbour.
+
+    ``packed``: steal the low ceil(log2 N) mantissa bits of the (nonnegative)
+    f32 distance for the column index and run ONE plain int32 min-reduce per
+    neighbour — value and index come back together, and the tie break is
+    lowest-index by construction.  f32 ordering of nonnegative floats equals
+    the ordering of their i32 bit patterns, so the only deviation from exact
+    top-k is that distances equal after dropping those low bits (≲2^-13
+    relative at N=1024) become index-broken ties.  Cheapest sweep per
+    neighbour; approximate in that razor-thin-margin sense only.
+
+    Switch with ``IQTPU_KNN_SELECT=two_pass|argmin|packed`` (read at trace
+    time) to A/B on hardware.
     """
     return os.environ.get("IQTPU_KNN_SELECT", "two_pass")
 
@@ -77,13 +87,35 @@ def _dist_tile(xq, xdb_t):
     return q2 - 2.0 * inner + d2
 
 
-def _select_min(dist, col, select: str = "two_pass"):
-    """One exact arg-min step with lowest-index tie break.
+_I32_MAX = 2**31 - 1
 
-    Returns (sel (Q, 1) int32, onehot (Q, N) bool, dist with the selected
-    lane masked out).
+
+def _select_prep(dist, col, select: str):
+    """Distance tile -> the sweep's loop state (identity except ``packed``,
+    which embeds the column index in the low mantissa bits, see
+    `knn_select_impl`).  Kernels must thread the state only through
+    `_select_min` afterwards."""
+    if select != "packed":
+        return dist
+    n = dist.shape[1]
+    low_mask = (1 << (n - 1).bit_length()) - 1
+    bits = jax.lax.bitcast_convert_type(jnp.maximum(dist, 0.0), jnp.int32)
+    return (bits & ~low_mask) | col
+
+
+def _select_min(dist, col, select: str = "two_pass"):
+    """One arg-min sweep step with lowest-index tie break (exact for
+    two_pass/argmin; see `knn_select_impl` for packed's tie widening).
+
+    Returns (sel (Q, 1) int32, onehot (Q, N) bool, dist/state with the
+    selected lane masked out).
     """
     n = dist.shape[1]
+    if select == "packed":
+        low_mask = (1 << (n - 1).bit_length()) - 1
+        sel = jnp.min(dist, axis=1, keepdims=True) & low_mask
+        onehot = col == sel
+        return sel, onehot, jnp.where(onehot, _I32_MAX, dist)
     if select == "argmin":
         sel = jnp.argmin(dist, axis=1, keepdims=True).astype(jnp.int32)
     else:
@@ -99,6 +131,7 @@ def _extrema_kernel(xq_ref, xdbt_ref, ahl_ref, omax_ref, omin_ref, *, k: int,
     q, n = dist.shape
     f = ahl_ref.shape[-1] // parts
     col = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
+    dist = _select_prep(dist, col, select)
     ahl = ahl_ref[0]                                       # (N, parts*F) bf16
 
     amax = jnp.full((q, f), -_BIG, jnp.float32)
@@ -256,6 +289,7 @@ def _knn_kernel(xq_ref, xdbt_ref, oidx_ref, *, k: int, select: str):
     dist = _dist_tile(xq_ref[0], xdbt_ref[0])
     q, n = dist.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
+    dist = _select_prep(dist, col, select)
     for j in range(k):
         sel, _, dist = _select_min(dist, col, select)
         oidx_ref[0, :, j] = sel[:, 0]
