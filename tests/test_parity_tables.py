@@ -115,14 +115,12 @@ def test_folder_name_lists_match_reference():
     fu = _ref_module("tools.final_util")
     from interpret_quality_tpu.data.datasets import get_folder_name_list
 
-    repo_misc = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "misc")
     cwd = os.getcwd()
     os.chdir(conftest.REF_ROOT)          # reference reads './misc' relative paths
     try:
         for ds in ("modelnet10", "shapenet"):
             ref = fu.get_folder_name_list(types.SimpleNamespace(dataset=ds))
-            got = get_folder_name_list(ds, misc_dir=repo_misc)
+            got = get_folder_name_list(ds)   # package misc/ (shipped as data)
             assert got == ref and len(got) == 30, ds
     finally:
         os.chdir(cwd)
