@@ -345,11 +345,18 @@ def run_interaction_logits(cfg: ExperimentConfig, mode_name: str = "rotate",
                            allow_random_init: bool = False,
                            ratios: Sequence[float] = tuple(RATIOS),
                            coalition_sharding=None,
-                           sample_indices: Optional[list] = None):
+                           sample_indices: Optional[list] = None,
+                           gen_pair_seed: Optional[int] = None):
     """Save ratio<r>_all_logits.pt for normal pose, adv pose, and the
     rank-1 single region at normal pose (reference
-    final_point_binary_interaction_logits.py:83-136)."""
+    final_point_binary_interaction_logits.py:83-136).
+
+    ``gen_pair_seed`` selects which interaction_seed<k>/ artifact tree to
+    read/write (the seed gen_pair ran with — reference
+    final_point_binary_interaction_logits.py:110,148) without touching this
+    run's own randomness; default = cfg.seed."""
     set_random(cfg.seed)
+    folder_seed = cfg.seed if gen_pair_seed is None else gen_pair_seed
     mode = MODES[mode_name]
     dataset, names = resolve_dataset(cfg, synthetic)
     _, _, forward = load_frozen_model(cfg, allow_random_init)
@@ -364,7 +371,7 @@ def run_interaction_logits(cfg: ExperimentConfig, mode_name: str = "rotate",
         data, lbl = dataset[pc_idx]
         name = names[pc_idx]
         base_folder = cfg.exp_folder + f"{name}/"
-        inter_folder = base_folder + f"interaction_seed{cfg.seed}/"
+        inter_folder = base_folder + f"interaction_seed{folder_seed}/"
         single_region_folder = inter_folder + f"{mode_name}_adv_single_region/"
         region_id = np.load(base_folder + "region_id.npy")
 
@@ -429,9 +436,14 @@ def run_cal_interactions(cfg: ExperimentConfig, mode_name: str = "rotate",
                          synthetic: bool = False,
                          output_type: str = "pred",
                          ratios: Sequence[float] = tuple(RATIOS),
-                         sample_indices: Optional[list] = None):
+                         sample_indices: Optional[list] = None,
+                         gen_pair_seed: Optional[int] = None):
     """Score saved logits into ratio<r>_{gt,pred}_interaction.npy
-    (reference final_cal_interactions.py:40-100)."""
+    (reference final_cal_interactions.py:40-100).
+
+    ``gen_pair_seed`` selects the interaction_seed<k>/ artifact tree
+    (reference final_cal_interactions.py:71,112); default = cfg.seed."""
+    folder_seed = cfg.seed if gen_pair_seed is None else gen_pair_seed
     dataset, names = resolve_dataset(cfg, synthetic)
     indices = (sample_indices if sample_indices is not None
                else selected_sample_indices(cfg.dataset))
@@ -454,7 +466,7 @@ def run_cal_interactions(cfg: ExperimentConfig, mode_name: str = "rotate",
         _, lbl = dataset[pc_idx]
         name = names[pc_idx]
         inter_folder = (cfg.exp_folder + f"{name}/"
-                        + f"interaction_seed{cfg.seed}/")
+                        + f"interaction_seed{folder_seed}/")
         single_region_folder = inter_folder + f"{mode_name}_adv_single_region/"
 
         print(f"[cal_interactions] ======= sample {name} =======")

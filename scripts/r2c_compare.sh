@@ -1,0 +1,68 @@
+#!/bin/bash
+# Round-2 chip-work queue, take 3: rebuild the artifact trees the host
+# reboot wiped for the remaining families (pointnet, dgcnn, gcnn,
+# pointnet2 — pointconv + gcnn_adv are rebuilt by r2b_queue.sh), then
+# regenerate the full six-family cross-model comparison in RESULTS.md.
+#
+# Run AFTER r2b_queue.sh finishes (one process owns the TPU).
+# Usage: scripts/r2c_compare.sh
+cd "$(dirname "$0")/.." || exit 1
+SAMPLES=0,3,6
+LABEL="TPU v5e-1 (axon), synthetic set, trained ckpts — all six families, samples 0,3,6"
+
+train_retry() {  # $1 = model
+  local M=$1
+  local CK="checkpoints/exp_MODEL_${M}_DATA_modelnet10_POINTNUM_1024_clean/models/model_best.msgpack"
+  [ -f "$CK" ] && return 0
+  python -u -m interpret_quality_tpu.cli.train --model "$M" --synthetic \
+    --epochs 15 --best_acc_gate 0 > "/tmp/${M}_train.log" 2>&1 && return 0
+  echo "[r2c] $M train attempt 1 failed; probing tunnel"
+  bash scripts/tpu_probe.sh
+  python -u -m interpret_quality_tpu.cli.train --model "$M" --synthetic \
+    --epochs 15 --best_acc_gate 0 >> "/tmp/${M}_train.log" 2>&1
+}
+
+run_suite_retry() {  # $1 = model, rest = suite flags
+  local M=$1; shift
+  local try
+  for try in 1 2 3; do
+    if bash scripts/run_results_suite.sh "$M" "$@" >> "/tmp/tpu_suite_${M}.log" 2>&1; then
+      return 0
+    fi
+    echo "[r2c] $M suite attempt $try failed; probing tunnel before retry"
+    bash scripts/tpu_probe.sh
+  done
+  return 1
+}
+
+for M in pointnet dgcnn gcnn pointnet2; do
+  echo "[r2c] ==== $M ===="
+  if train_retry "$M"; then
+    run_suite_retry "$M" --synthetic --samples "$SAMPLES" \
+      || echo "[r2c] $M suite FAILED"
+  else
+    echo "[r2c] $M train FAILED"
+  fi
+done
+
+echo "[r2c] ==== six-family cross-model comparison ===="
+# drop the stale 3-family PARTIAL comparison section before appending
+python - <<'EOF'
+import re
+md = open("RESULTS.md").read()
+parts = re.split(r"\n\n---\n\n", md)
+kept = [p for p in parts
+        if not (p.startswith("# Cross-model comparison") and "PARTIAL" in p)]
+if len(kept) != len(parts):
+    open("RESULTS.md", "w").write("\n\n---\n\n".join(kept))
+    print("[r2c] dropped stale PARTIAL comparison section")
+EOF
+python scripts/make_compare_md.py --synthetic --samples "$SAMPLES" \
+  --models pointnet,pointnet2,pointconv,dgcnn,gcnn,gcnn_adv \
+  --label "$LABEL" --out RESULTS.md \
+  && git add RESULTS.md \
+  && git commit -m "RESULTS.md: full six-family cross-model comparison on TPU
+
+No-Verification-Needed: generated results/doc-only append" \
+  || echo "[r2c] compare FAILED"
+echo "[r2c] ALL DONE"

@@ -114,6 +114,18 @@ def test_full_pipeline(cfg, workdir):
     assert inter_scores.shape == (5, 4)
     assert np.isfinite(inter_scores).all()
 
+    # --gen_pair_seed selects the artifact tree independently of --seed
+    # (reference final_cal_interactions.py:71,112): score from a config with
+    # a different run seed, pointing gen_pair_seed at the tree above
+    import dataclasses
+    cfg_other = dataclasses.replace(cfg, seed=cfg.seed + 41)
+    run_cal_interactions(cfg_other, "rotate", synthetic=True,
+                         output_type="gt", ratios=RATIOS,
+                         sample_indices=SAMPLES, gen_pair_seed=cfg.seed)
+    assert os.path.exists(inter + "normal/ratio10_gt_interaction.npy")
+    assert not os.path.exists(
+        base + f"interaction_seed{cfg_other.seed}/")
+
     # ---- stage 4: results tables over the 2 processed samples
     sel_names = [names[i] for i in SAMPLES]
     sens = cal_sensitivity_all_pc(cfg, "trans", sel_names)
