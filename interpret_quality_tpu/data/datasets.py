@@ -22,13 +22,9 @@ from ..config import (DATA_MODELNET_SHAPLEY_TEST, DATA_SHAPENET_SHAPLEY_TEST,
 from . import augment
 
 _PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_PKG_ROOT = os.path.dirname(_PKG_DIR)
-# repo checkout keeps the static eval-sample lists at ./misc; an installed
-# wheel ships them inside the package (pyproject package-data)
-MISC_DIR = next(
-    (d for d in (os.path.join(_PKG_ROOT, "misc"),
-                 os.path.join(_PKG_DIR, "misc")) if os.path.isdir(d)),
-    os.path.join(_PKG_ROOT, "misc"))
+# the static eval-sample lists ship inside the package (pyproject
+# package-data), in the repo checkout and in installed wheels alike
+MISC_DIR = os.path.join(_PKG_DIR, "misc")
 
 MODELNET10_SHAPES = ["bathtub", "bed", "chair", "desk", "dresser",
                      "monitor", "night_stand", "sofa", "table", "toilet"]

@@ -250,11 +250,20 @@ def export_state_dict(model_name: str, variables: Dict,
                 np.asarray(_get(stats, fpath, "bn_var")))
         else:
             raise ValueError(kind)
-    # keys the flax tree does not track (BatchNorm num_batches_tracked):
-    # copy from the template so torch load_state_dict(strict=True) passes
-    for key, value in tpl_raw.items():
-        if key not in out:
-            out[key] = value
+    # The only template keys the flax tree legitimately lacks are BatchNorm
+    # num_batches_tracked counters; copy those so torch
+    # load_state_dict(strict=True) passes.  Anything else left over means the
+    # RULES table missed a layer — copying the template there would silently
+    # ship its (e.g. freshly-initialised) weights, so fail loudly instead.
+    leftover = [k for k in tpl_raw if k not in out]
+    unmapped = [k for k in leftover if not k.endswith("num_batches_tracked")]
+    if unmapped:
+        raise ValueError(
+            f"export rules for {model_name!r} produced no value for template "
+            f"keys {unmapped}; extend RULES rather than shipping template "
+            "weights")
+    for key in leftover:
+        out[key] = tpl_raw[key]
     return out
 
 

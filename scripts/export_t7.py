@@ -17,9 +17,22 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def template_from_reference(model_name: str, ref_root: str):
+def template_from_reference(model_name: str, ref_root: str,
+                            num_classes: int = 10):
+    """State-dict layout from the reference torch modules.
+
+    The reference head width is keyed off the dataset name (models/dgcnn.py:
+    57-58: 40 for 'modelnet40', else 10), so only 10- and 40-class layouts
+    exist; other head sizes must come from --template.
+    """
     import importlib.util
     import types
+
+    dataset_by_classes = {10: "modelnet10", 40: "modelnet40"}
+    if num_classes not in dataset_by_classes:
+        raise SystemExit(
+            f"--num_classes {num_classes} has no reference layout (the "
+            "reference supports 10 or 40 classes); pass --template instead")
 
     ref_models = os.path.join(ref_root, "models")
     file_by_model = {"pointnet": "pointnet", "pointnet2": "pointnet2",
@@ -35,7 +48,8 @@ def template_from_reference(model_name: str, ref_root: str):
     mod = importlib.util.module_from_spec(spec)
     sys.modules[spec.name] = mod
     spec.loader.exec_module(mod)
-    args = types.SimpleNamespace(dataset="modelnet10", model=model_name,
+    args = types.SimpleNamespace(dataset=dataset_by_classes[num_classes],
+                                 model=model_name,
                                  k=20, emb_dims=1024, dropout=0.5,
                                  feature_transform=True)
     return getattr(mod, cls_by_model[model_name])(args).state_dict()
@@ -72,7 +86,8 @@ def main():
         import torch
         template = torch.load(args.template, map_location="cpu")
     elif os.path.isdir(os.path.join(args.ref_root, "models")):
-        template = template_from_reference(args.model, args.ref_root)
+        template = template_from_reference(args.model, args.ref_root,
+                                           num_classes=args.num_classes)
     else:
         raise SystemExit("pass --template (a torch checkpoint) or point "
                          "--ref_root at the reference repo")

@@ -70,11 +70,15 @@ def test_packed_tie_break_is_lowest_index():
     """Distances that collide only after low-bit truncation break to the
     lowest index under ``packed`` — the documented (and only) deviation."""
     db = np.zeros((1, 8, 1), np.float32)
-    db[0, :, 0] = [5.0, np.nextafter(np.float32(5.0), np.float32(6.0)),
+    # the LARGER of the near-equal pair sits at the LOWER index, so exact
+    # ordering would return [2, 3, 1, 0] while packed's truncation merges
+    # the pair into a tie and breaks it to the lowest index: [2, 3, 0, 1]
+    db[0, :, 0] = [np.nextafter(np.float32(5.0), np.float32(6.0)), 5.0,
                    1.0, 2.0, 7.0, 8.0, 9.0, 10.0]
     q = np.zeros((1, 8, 1), np.float32)
+    exact = np.asarray(knn_pallas(jnp.asarray(q), jnp.asarray(db), 4,
+                                  select="two_pass", interpret=True))
+    np.testing.assert_array_equal(exact[0, 0], [2, 3, 1, 0])
     idx = np.asarray(knn_pallas(jnp.asarray(q), jnp.asarray(db), 4,
                                 select="packed", interpret=True))
-    # exact order is [2, 3, 0, 1]; packed merges the 5.0/nextafter(5.0) pair
-    # into a tie and still returns {0, 1} in index order
     np.testing.assert_array_equal(idx[0, 0], [2, 3, 0, 1])
