@@ -60,8 +60,15 @@ def dgcnn_rules() -> List[Rule]:
         # EdgeConv stores its parameters flat: kernel + bn_{scale,bias,mean,var}
         r.append((f"conv{i}.0", (f"conv{i}",), "conv"))
         r.append((f"bn{i}", (f"conv{i}",), "bn_flat"))
+        # the reference registers each BN twice — as self.bn{i} AND inside
+        # the conv{i} Sequential (reference models/dgcnn.py:60-67), so its
+        # state dicts carry both key aliases for the same tensor.  Map both:
+        # exports must write real values under BOTH names (torch's
+        # load_state_dict writes shared tensors once per alias, last wins).
+        r.append((f"conv{i}.1", (f"conv{i}",), "bn_flat"))
     r.append(("conv5.0", ("conv5", "conv"), "conv"))
     r.append(("bn5", ("conv5", "bn"), "bn"))
+    r.append(("conv5.1", ("conv5", "bn"), "bn"))
     r.append(("linear1", ("linear1",), "conv"))
     r.append(("bn6", ("bn6",), "bn"))
     r.append(("linear2", ("linear2",), "conv"))
