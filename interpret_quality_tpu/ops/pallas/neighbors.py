@@ -55,9 +55,12 @@ def knn_select_impl() -> str:
     neighbour; approximate in that razor-thin-margin sense only.
 
     Switch with ``IQTPU_KNN_SELECT=two_pass|argmin|packed`` (read at trace
-    time) to A/B on hardware.
+    time) to A/B on hardware.  ``packed`` is the default — the on-chip A/B
+    (docs/PERF.md §3) measured it fastest for every kNN-consuming family
+    (dgcnn +17%, gcnn +5%, pointconv +5% engine throughput over two_pass);
+    set ``two_pass`` for bit-exact `jax.lax.top_k` tie semantics.
     """
-    return os.environ.get("IQTPU_KNN_SELECT", "two_pass")
+    return os.environ.get("IQTPU_KNN_SELECT", "packed")
 
 
 def _split_hilo(a: jnp.ndarray):
