@@ -10,8 +10,11 @@ This kernel never materialises the (B, N, N) distance matrix in HBM and
 never performs an XLA gather:
 
   * the distance tile (Q, N) is computed on the MXU and lives in VMEM;
-  * k-selection is an iterative (min, mask) sweep in VMEM — exact top-k
-    with `jax.lax.top_k` tie semantics (lowest index first);
+  * k-selection is an iterative (min, mask) sweep in VMEM — by default the
+    ``packed`` variant (index in the low mantissa bits, one i32 min-reduce
+    per neighbour; ties within ~2^-13 relative break to the lowest index),
+    with ``IQTPU_KNN_SELECT=two_pass`` giving bit-exact `jax.lax.top_k`
+    tie semantics (lowest index first) — see `knn_select_impl`;
   * the row gather is a one-hot (Q, N) @ (N, F) matmul — it rides the MXU
     instead of the scalar gather unit;
   * values are carried as a bf16 hi/lo pair, so the gathered rows are exact
