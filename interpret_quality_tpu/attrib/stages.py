@@ -52,10 +52,15 @@ def run_shapley_init(cfg: ExperimentConfig, synthetic: bool = False,
                      coalition_sharding=None,
                      sample_indices: Optional[list] = None,
                      resume: bool = False,
-                     trace_dir: Optional[str] = None):
+                     trace_dir: Optional[str] = None,
+                     antithetic: bool = False):
     """Per eval cloud: region ids, norm factor, saved permutations, the
     1000-sample Shapley estimate with convergence snapshots, and the raw
     per-order estimates (region_sv_all.npy).
+
+    ``antithetic=True`` samples the saved permutations in (π, reverse π)
+    pairs — a variance-reduction improvement over the reference's i.i.d.
+    stream (see shapley.generate_all_orders); artifacts are unchanged.
 
     ``trace_dir`` wraps the device work in a ``jax.profiler`` trace for
     xprof inspection."""
@@ -85,7 +90,8 @@ def run_shapley_init(cfg: ExperimentConfig, synthetic: bool = False,
         nf = norm_factor(forward, data, lbl, cfg.softmax_type)
         save_npy(result_path + "norm_factor.npy", nf)
 
-        all_orders = generate_all_orders(cfg.num_samples_save, cfg.num_regions)
+        all_orders = generate_all_orders(cfg.num_samples_save, cfg.num_regions,
+                                         antithetic=antithetic)
         save_npy(result_path + "all_orders.npy", all_orders)
 
         with device_trace(trace_dir), StageTimer(

@@ -8,14 +8,20 @@ from .common import (base_parser, config_from_args, sample_indices_from_args,
 
 
 def main():
-    args = base_parser("Shapley value initialisation").parse_args()
+    p = base_parser("Shapley value initialisation")
+    p.add_argument("--antithetic", action="store_true",
+                   help="sample saved permutations in (pi, reverse pi) "
+                        "pairs — lower-variance estimates at identical "
+                        "forward cost (off = reference i.i.d. stream)")
+    args = p.parse_args()
     cfg = config_from_args(args)
     from ..attrib.stages import run_shapley_init
     run_shapley_init(cfg, synthetic=args.synthetic,
                      allow_random_init=args.allow_random_init,
                      coalition_sharding=sharding_from_args(args),
                      sample_indices=sample_indices_from_args(args),
-                     resume=args.resume, trace_dir=args.trace_dir)
+                     resume=args.resume, trace_dir=args.trace_dir,
+                     antithetic=args.antithetic)
 
 
 if __name__ == "__main__":
