@@ -34,6 +34,7 @@ from ..config import (BALL_QUERY_COEF, ExperimentConfig,
                       SHAPENET_INTER_SELECTED_SAMPLE)
 from ..pipeline import load_frozen_model, resolve_dataset
 from ..utils.io import IOStream, mkdir, save_npy, save_torch_tensor
+from ..utils.profiling import StageTimer
 from ..utils.region_geom import region_ball_neighbors
 from ..utils.rng import cal_rank, set_random
 from .coalitions import masked_interaction_batch
@@ -375,11 +376,14 @@ def run_interaction_logits(cfg: ExperimentConfig, mode_name: str = "rotate",
         single_region_folder = inter_folder + f"{mode_name}_adv_single_region/"
         region_id = np.load(base_folder + "region_id.npy")
 
+        io = IOStream(inter_folder + "log.txt")
+
         def save_all_orders(cloud, save_path):
             pair_list = np.load(save_path + "../region_pair_list.npy")
             if pair_list.size == 0:   # region with no ball-query neighbours
-                print(f"  {save_path}: no pairs, skipping")
-                return
+                io.cprint(f"  {save_path}: no pairs, skipping")
+                return 0
+            rows = 0
             for ratio in ratios:
                 t0 = time.time()
                 ctx = np.load(save_path
@@ -388,26 +392,35 @@ def run_interaction_logits(cfg: ExperimentConfig, mode_name: str = "rotate",
                 save_torch_tensor(
                     save_path + "ratio%d_all_logits.pt" % int(ratio * 100),
                     logits)
-                print(f"  ratio {ratio:.2f}: {logits.shape} "
-                      f"in {time.time() - t0:.2f}s")
+                rows += logits.shape[0] * logits.shape[1]
+                io.cprint(f"  ratio {ratio:.2f}: {logits.shape} "
+                          f"in {time.time() - t0:.2f}s")
+            return rows
 
-        print(f"[interaction_logits] ======= sample {name} =======")
-        save_all_orders(data, inter_folder + "normal/")
+        io.cprint(f"[interaction_logits] ======= sample {name} =======")
+        # one timer over all three pose states; items = masked forwards, so
+        # the JSON line lands in the same RESULTS.md throughput table as the
+        # enum stages (scripts/make_results_md.py parse_stage_timers)
+        with StageTimer(f"interaction:{name}", printer=io.cprint) as timer:
+            forwards = save_all_orders(data, inter_folder + "normal/")
 
-        params = np.load(inter_folder + f"{mode_name}_adv/transform_params.npy"
-                         ).astype(np.float32)
-        data_disturb = np.asarray(disturb_one(jnp.asarray(data),
-                                              jnp.asarray(params)))
-        save_all_orders(data_disturb, inter_folder + f"{mode_name}_adv/")
+            params = np.load(inter_folder
+                             + f"{mode_name}_adv/transform_params.npy"
+                             ).astype(np.float32)
+            data_disturb = np.asarray(disturb_one(jnp.asarray(data),
+                                                  jnp.asarray(params)))
+            forwards += save_all_orders(data_disturb,
+                                        inter_folder + f"{mode_name}_adv/")
 
-        for rf in sorted(os.listdir(single_region_folder)):
-            region_folder = single_region_folder + rf + "/"
-            if not os.path.isdir(region_folder):
-                continue
-            range_rank = int(rf[10:12])
-            if range_rank != 1:
-                continue
-            save_all_orders(data, region_folder + "normal/")
+            for rf in sorted(os.listdir(single_region_folder)):
+                region_folder = single_region_folder + rf + "/"
+                if not os.path.isdir(region_folder):
+                    continue
+                range_rank = int(rf[10:12])
+                if range_rank != 1:
+                    continue
+                forwards += save_all_orders(data, region_folder + "normal/")
+            timer.items = forwards
 
 
 # ---------------------------------------------------------------------------

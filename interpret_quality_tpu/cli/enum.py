@@ -16,6 +16,9 @@ def main(default_mode: str = "trans"):
                         "per-model enum_pose_chunk from config.py)")
     p.add_argument("--no_logits", action="store_true",
                    help="skip saving all_logits.pt")
+    p.add_argument("--max_poses", type=int, default=None,
+                   help="truncate the pose grid (smoke runs; default: the "
+                        "full reference grid, 216 trans/rotate, 30 scale)")
     args = p.parse_args()
     cfg = config_from_args(args)
     from ..attrib.stages import run_enum
@@ -25,7 +28,8 @@ def main(default_mode: str = "trans"):
              coalition_sharding=sharding_from_args(args),
              save_logits=not args.no_logits,
              sample_indices=sample_indices_from_args(args),
-             resume=args.resume, trace_dir=args.trace_dir)
+             resume=args.resume, trace_dir=args.trace_dir,
+             max_poses=args.max_poses)
 
 
 if __name__ == "__main__":
