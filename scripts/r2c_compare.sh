@@ -1,10 +1,12 @@
 #!/bin/bash
-# Round-2 chip-work queue, take 3: rebuild the artifact trees the host
-# reboot wiped for the remaining families (pointnet, dgcnn, gcnn,
-# pointnet2 — pointconv + gcnn_adv are rebuilt by r2b_queue.sh), then
-# regenerate the full six-family cross-model comparison in RESULTS.md.
+# Round-2 chip-work queue, take 4: rebuild ONLY the artifacts the
+# six-family cross-model comparison reads (enums + smoothness — no
+# interaction stages; their per-family figures/curves are already
+# committed from earlier hosts) for pointnet, dgcnn, gcnn, pointnet2,
+# then regenerate the comparison in RESULTS.md.  pointconv + gcnn_adv
+# trees come from r2e_queue.sh (full suites).
 #
-# Run AFTER r2b_queue.sh finishes (one process owns the TPU).
+# Run AFTER r2e_queue.sh finishes (one process owns the TPU).
 # Usage: scripts/r2c_compare.sh
 cd "$(dirname "$0")/.." || exit 1
 SAMPLES=0,3,6
@@ -26,7 +28,7 @@ run_suite_retry() {  # $1 = model, rest = suite flags
   local M=$1; shift
   local try
   for try in 1 2 3; do
-    if bash scripts/run_results_suite.sh "$M" "$@" >> "/tmp/tpu_suite_${M}.log" 2>&1; then
+    if bash scripts/r2_tables_suite.sh "$M" "$@" >> "/tmp/tpu_suite_${M}.log" 2>&1; then
       return 0
     fi
     echo "[r2c] $M suite attempt $try failed; probing tunnel before retry"
@@ -35,7 +37,7 @@ run_suite_retry() {  # $1 = model, rest = suite flags
   return 1
 }
 
-for M in pointnet dgcnn gcnn pointnet2; do
+for M in pointnet pointnet2 dgcnn gcnn; do
   echo "[r2c] ==== $M ===="
   if train_retry "$M"; then
     run_suite_retry "$M" --synthetic --samples "$SAMPLES" \

@@ -1,11 +1,12 @@
 #!/bin/bash
-# Round-2 (session f) post-queue tail.  Runs after scripts/r2f_queue.sh:
-#   1. dgcnn on the ShapeNet fixture data path (second ShapeNet family in
-#      RESULTS.md, exercising the native .pts loader end-to-end)
-#   2. single-region interaction aggregates for every family whose artifact
+# Round-2 (session g) post-queue tail, figures-only cut: this host's
+# tunnel dispatch latency makes another full ShapeNet suite unaffordable
+# in the remaining wall-clock, so:
+#   1. single-region interaction aggregates for every family whose artifact
 #      tree exists on this host (CPU post-processing of suite artifacts)
-#   3. the composite Figure-5 PDF across all families/datasets
-#   4. commit refreshed figures
+#   2. the composite Figure-5 PDF across all families/datasets with
+#      artifacts on this host
+#   3. commit refreshed figures
 #
 # Usage: scripts/r2g_tail.sh [WAIT_PID]
 cd "$(dirname "$0")/.." || exit 1
@@ -14,9 +15,6 @@ if [ -n "$WAIT_PID" ]; then
   echo "[r2g] waiting for pid $WAIT_PID"
   while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 60; done
 fi
-
-echo "[r2g] ==== dgcnn / shapenet ===="
-MODELS=dgcnn bash scripts/r2_shapenet.sh 2>&1 | tee /tmp/r2g_shapenet.log
 
 echo "[r2g] ==== interaction aggregates (single-region + normal/adv) ===="
 plot_family() {  # $1 model, rest = extra flags
@@ -30,10 +28,6 @@ SAMPLES=0,3,6
 for M in pointnet pointnet2 pointconv dgcnn gcnn gcnn_adv; do
   plot_family "$M" --synthetic --samples "$SAMPLES"
 done
-for M in pointnet dgcnn; do
-  plot_family "$M" --dataset shapenet --samples "$SAMPLES"
-done
-
 echo "[r2g] ==== composite figure ===="
 python -u -m interpret_quality_tpu.cli.plot_interaction --plot_mode all \
   >> /tmp/r2g_plots.log 2>&1 || echo "[r2g] composite FAILED"
