@@ -10,7 +10,7 @@
 # Usage: scripts/r2c_compare.sh
 cd "$(dirname "$0")/.." || exit 1
 SAMPLES=0,3,6
-LABEL="TPU v5e-1 (axon), synthetic set, trained ckpts — all six families, samples 0,3,6"
+LABEL="TPU v5e-1 (axon), synthetic set, trained ckpts; samples 0,3,6; one row per family with a rebuilt artifact tree on this host"
 
 train_retry() {  # $1 = model
   local M=$1
@@ -37,34 +37,37 @@ run_suite_retry() {  # $1 = model, rest = suite flags
   return 1
 }
 
+refresh_compare() {  # regenerate the comparison from whatever trees exist now
+  python - <<'PYEOF'
+import re
+md = open("RESULTS.md").read()
+parts = re.split(r"\n\n---\n\n", md)
+kept = [p for p in parts if not p.startswith("# Cross-model comparison")]
+if len(kept) != len(parts):
+    open("RESULTS.md", "w").write("\n\n---\n\n".join(kept))
+    print("[r2c] dropped previous comparison section")
+PYEOF
+  python scripts/make_compare_md.py --synthetic --samples "$SAMPLES" \
+    --models pointnet,pointnet2,pointconv,dgcnn,gcnn,gcnn_adv \
+    --label "$LABEL" --out RESULTS.md \
+    && git add RESULTS.md \
+    && git commit -m "RESULTS.md: cross-model comparison refresh (families with artifact trees)
+
+No-Verification-Needed: generated results/doc-only append" \
+    || echo "[r2c] compare refresh FAILED"
+}
+
 for M in pointnet pointnet2 dgcnn gcnn; do
   echo "[r2c] ==== $M ===="
   if train_retry "$M"; then
-    run_suite_retry "$M" --synthetic --samples "$SAMPLES" \
+    { run_suite_retry "$M" --synthetic --samples "$SAMPLES" \
+        && refresh_compare; } \
       || echo "[r2c] $M suite FAILED"
   else
     echo "[r2c] $M train FAILED"
   fi
 done
 
-echo "[r2c] ==== six-family cross-model comparison ===="
-# drop the stale 3-family PARTIAL comparison section before appending
-python - <<'EOF'
-import re
-md = open("RESULTS.md").read()
-parts = re.split(r"\n\n---\n\n", md)
-kept = [p for p in parts
-        if not (p.startswith("# Cross-model comparison") and "PARTIAL" in p)]
-if len(kept) != len(parts):
-    open("RESULTS.md", "w").write("\n\n---\n\n".join(kept))
-    print("[r2c] dropped stale PARTIAL comparison section")
-EOF
-python scripts/make_compare_md.py --synthetic --samples "$SAMPLES" \
-  --models pointnet,pointnet2,pointconv,dgcnn,gcnn,gcnn_adv \
-  --label "$LABEL" --out RESULTS.md \
-  && git add RESULTS.md \
-  && git commit -m "RESULTS.md: full six-family cross-model comparison on TPU
-
-No-Verification-Needed: generated results/doc-only append" \
-  || echo "[r2c] compare FAILED"
+echo "[r2c] ==== final cross-model comparison ===="
+refresh_compare
 echo "[r2c] ALL DONE"
