@@ -128,6 +128,7 @@ class ShapleyEngine:
         self._scan_orders = jax.jit(self._scan_orders_impl)
         self._keep_cache = {}
         self._scan_cache = {}
+        self._enum_scan_jits = {}
 
     def _keep_for(self, chunk: np.ndarray):
         """Device (keep matrix, orders) for an order chunk, cached across
@@ -209,6 +210,111 @@ class ShapleyEngine:
         dv_by_region = marginals_by_region(dv, orders)    # (P, O, R)
         sv = jnp.sum(dv_by_region, axis=1)                # (P, R)
         return sv, logits.reshape(P, O * (self.num_regions + 1), -1)
+
+    def _enum_scan_for(self, disturb_batch: Callable, return_logits: bool):
+        """Jitted whole-grid enumeration program for one disturb function.
+
+        Through a high-latency device link every executable launch is a
+        blocking RPC; the reference-shaped per-pose host loop costs ~4 round
+        trips per pose (measured ~2.4 s/pose on a slow tunnel vs ~1 s of
+        compute).  Scanning the full pose grid inside ONE jit makes the
+        stage a single dispatch regardless of grid size."""
+        key = (disturb_batch, return_logits)
+        fn = self._enum_scan_jits.get(key)
+        if fn is not None:
+            return fn
+
+        def impl(variables, data, params_steps, keep_steps, orders_steps,
+                 region_id, label):
+            S = orders_steps.shape[0] * orders_steps.shape[1]
+            Pc = params_steps.shape[1]
+
+            def pose_body(carry, params_chunk):
+                data_batch = disturb_batch(data, params_chunk)  # (Pc, N, 3)
+
+                def order_body(acc, xs):
+                    keep, orders = xs
+                    sv, logits = self._step_poses_impl(
+                        variables, data_batch, keep, orders, region_id, label)
+                    return acc + sv, (logits if return_logits else None)
+
+                sv_sum, logits_chunks = jax.lax.scan(
+                    order_body,
+                    jnp.zeros((Pc, self.num_regions), jnp.float32),
+                    (keep_steps, orders_steps))
+                if return_logits:
+                    # (T, Pc, O*(R+1), C) -> reference row layout per pose
+                    logits = jnp.swapaxes(logits_chunks, 0, 1).reshape(
+                        Pc, S * (self.num_regions + 1), -1)
+                else:
+                    logits = jnp.zeros((), jnp.float32)
+                return carry, (sv_sum / S, logits)
+
+            _, (sv, logits) = jax.lax.scan(pose_body, 0, params_steps)
+            return sv, logits           # (Tp, Pc, R), (Tp, Pc, S*(R+1), C)
+
+        fn = jax.jit(impl)
+        self._enum_scan_jits[key] = fn
+        return fn
+
+    def enum_all_poses(self, disturb_batch: Callable, data, all_params,
+                       label, region_id, orders, pose_chunk: int,
+                       return_logits: bool = True):
+        """Shapley values at every pose of a perturbation grid, in ONE
+        device dispatch (see _enum_scan_for).
+
+        Args:
+          disturb_batch: jittable ``((N,3), (Pc, ...)) -> (Pc, N, 3)``.
+          all_params: (P, ...) pose-parameter grid; a ragged tail is padded
+            with the last pose and sliced off after the fetch.
+          orders: (S, R) permutations; S must be a multiple of the order
+            chunk (``min(batch_orders, S)``) — callers fall back to
+            shapley_for_poses otherwise.
+        Returns:
+          (region_shap_value (P, R) float64 numpy,
+           logits (P, S*(R+1), C) numpy or None).
+        """
+        orders = np.asarray(orders)
+        S = orders.shape[0]
+        bs = min(self.batch_orders, S)
+        if S % bs != 0:
+            raise ValueError(f"order count {S} not a multiple of {bs}")
+        T = S // bs
+        scan_key = orders.tobytes()
+        cached = self._scan_cache.get(scan_key)
+        if cached is None:
+            keep_steps = np.stack([keep_matrix_from_orders(orders[s:s + bs])
+                                   for s in range(0, S, bs)])
+            cached = (jnp.asarray(keep_steps),
+                      jnp.asarray(orders.reshape(T, bs, -1)))
+            if len(self._scan_cache) > 8:
+                self._scan_cache.clear()
+            self._scan_cache[scan_key] = cached
+        keep_dev, orders_dev = cached
+
+        all_params = np.asarray(all_params)
+        P = all_params.shape[0]
+        Tp = -(-P // pose_chunk)
+        pad = Tp * pose_chunk - P
+        if pad:
+            all_params = np.concatenate(
+                [all_params, np.repeat(all_params[-1:], pad, axis=0)], axis=0)
+        params_steps = jnp.asarray(all_params.reshape(
+            (Tp, pose_chunk) + all_params.shape[1:]))
+
+        fn = self._enum_scan_for(disturb_batch, return_logits)
+        sv, logits = fn(self._variables, jnp.asarray(data), params_steps,
+                        keep_dev, orders_dev, jnp.asarray(region_id),
+                        jnp.asarray(label))
+        sv.copy_to_host_async()
+        if return_logits:
+            logits.copy_to_host_async()
+        sv = np.asarray(sv, dtype=np.float64).reshape(
+            Tp * pose_chunk, self.num_regions)[:P]
+        if not return_logits:
+            return sv, None
+        logits = np.asarray(logits)
+        return sv, logits.reshape((Tp * pose_chunk,) + logits.shape[2:])[:P]
 
     # ------------------------------------------------------------- public
     def shapley_for_poses(self, data_batch, label, region_id, orders,

@@ -170,50 +170,59 @@ def run_enum(cfg: ExperimentConfig, mode_name: str, synthetic: bool = False,
         save_npy(mode_folder + "orig_shapley_value.npy", orig_sv)
 
         P = all_params.shape[0]
-        sv_list, logits_list = [], []
         data_j = jnp.asarray(data)
         timer = StageTimer(f"enum:{mode_name}:{names[pc_index]}",
                            items=P * cfg.num_samples * (cfg.num_regions + 1),
                            printer=io.cprint)
+        S = orders.shape[0]
+        ragged_orders = S % min(engine.batch_orders, S) != 0
         with device_trace(trace_dir), timer:
-            # All device arrays are collected and fetched once per cloud:
-            # every blocking device->host fetch costs a full tunnel round
-            # trip (~58 ms measured), so per-chunk fetches dominated the
-            # stage.
-            for start in range(0, P, pose_chunk):
-                chunk = all_params[start:start + pose_chunk]
-                valid = chunk.shape[0]
-                if valid < pose_chunk:  # pad ragged tail to compiled shape
-                    pad = np.repeat(chunk[-1:], pose_chunk - valid, axis=0)
-                    chunk = np.concatenate([chunk, pad], axis=0)
-                params_chunk = jnp.asarray(chunk)
-                data_disturb = disturb_batch(data_j, params_chunk)  # (Pc,N,3)
-                if save_logits:
-                    sv, logits = engine.shapley_for_poses(
-                        data_disturb, lbl, region_id, orders,
-                        return_logits=True, return_device=True)
-                    logits_list.append(logits[:valid])
-                else:
-                    sv = engine.shapley_for_poses(
-                        data_disturb, lbl, region_id, orders,
-                        return_logits=False, return_device=True)
-                sv_list.append(sv[:valid])
+            if not ragged_orders:
+                # whole grid in ONE dispatch: disturb + mask + forward +
+                # marginals scanned on device over (pose chunk, order
+                # chunk).  Through a high-latency tunnel the per-pose host
+                # loop cost ~4 blocking RPCs per pose; this path makes the
+                # stage a single launch + a single fetch.
+                region_shapley_list, all_logits = engine.enum_all_poses(
+                    disturb_batch, data_j, all_params, lbl, region_id,
+                    orders, pose_chunk, return_logits=save_logits)
+            else:
+                # ragged order count (S not a multiple of the order chunk):
+                # per-pose-chunk host loop, device arrays fetched once.
+                sv_list, logits_list = [], []
+                for start in range(0, P, pose_chunk):
+                    chunk = all_params[start:start + pose_chunk]
+                    valid = chunk.shape[0]
+                    if valid < pose_chunk:  # pad ragged tail, compiled once
+                        pad = np.repeat(chunk[-1:], pose_chunk - valid, axis=0)
+                        chunk = np.concatenate([chunk, pad], axis=0)
+                    params_chunk = jnp.asarray(chunk)
+                    data_disturb = disturb_batch(data_j, params_chunk)
+                    if save_logits:
+                        sv, logits = engine.shapley_for_poses(
+                            data_disturb, lbl, region_id, orders,
+                            return_logits=True, return_device=True)
+                        logits_list.append(logits[:valid])
+                    else:
+                        sv = engine.shapley_for_poses(
+                            data_disturb, lbl, region_id, orders,
+                            return_logits=False, return_device=True)
+                    sv_list.append(sv[:valid])
 
-            for c in sv_list + logits_list:      # overlap the transfers
-                c.copy_to_host_async()
-            sv_list = [np.asarray(c, np.float64) for c in sv_list]
-            logits_list = [np.asarray(c) for c in logits_list]
-        for start_i, sv in enumerate(sv_list):
-            for k in range(sv.shape[0]):
-                pose = start_i * pose_chunk + k
-                io.cprint("pose %d %s: shapley %s"
-                          % (pose, str(np.asarray(all_params[pose])),
-                             str(sv[k])))
+                for c in sv_list + logits_list:  # overlap the transfers
+                    c.copy_to_host_async()
+                region_shapley_list = np.concatenate(
+                    [np.asarray(c, np.float64) for c in sv_list], axis=0)
+                all_logits = (np.concatenate(
+                    [np.asarray(c) for c in logits_list], axis=0)
+                    if save_logits else None)
+        for pose in range(P):
+            io.cprint("pose %d %s: shapley %s"
+                      % (pose, str(np.asarray(all_params[pose])),
+                         str(region_shapley_list[pose])))
 
-        region_shapley_list = np.concatenate(sv_list, axis=0)    # (P, R)
         save_npy(mode_folder + "region_shapley_value.npy", region_shapley_list)
         if save_logits:
-            all_logits = np.concatenate(logits_list, axis=0)     # (P, S*(R+1), C)
             save_torch_tensor(mode_folder + "all_logits.pt", all_logits)
         mode.save_info(all_params, mode_folder)
         io.cprint("time: %f" % timer.seconds)

@@ -349,3 +349,42 @@ def test_antithetic_variance_reduction_convex_game():
             errs.append(np.mean((estimate(o) - exact) ** 2))
         mse[anti] = np.mean(errs)
     assert mse[True] < 0.7 * mse[False], mse
+
+
+def test_enum_all_poses_matches_pose_loop():
+    """The one-dispatch whole-grid enumeration (nested lax.scan) must
+    reproduce the per-pose shapley_for_poses loop exactly: same Shapley
+    values, same logits row layout, ragged pose tail sliced off."""
+    rng = np.random.RandomState(5)
+    N, R, C = 48, 6, 7
+    data = rng.randn(N, 3).astype(np.float32)
+    region_id = rng.randint(0, R, size=N)
+    region_id[:R] = np.arange(R)
+    W = jnp.asarray(rng.randn(3, C).astype(np.float32))
+
+    def fwd(x):                                 # (B, N, 3) -> (B, C)
+        pooled = jnp.max(x, axis=1) + jnp.mean(x, axis=1)
+        return pooled @ W
+
+    eng = ShapleyEngine(fwd, num_regions=R, batch_orders=4)
+    orders = np.stack([rng.permutation(R) for _ in range(8)])   # T = 2
+    all_params = rng.uniform(-0.3, 0.3, size=(5, 3)).astype(np.float32)
+    disturb_batch = jax.vmap(lambda d, p: d + p, in_axes=(None, 0))
+
+    sv, logits = eng.enum_all_poses(disturb_batch, data, all_params,
+                                    1, region_id, orders, pose_chunk=2)
+    assert sv.shape == (5, R) and logits.shape == (5, 8 * (R + 1), C)
+
+    for p in range(all_params.shape[0]):
+        batch = np.asarray(disturb_batch(jnp.asarray(data),
+                                         jnp.asarray(all_params[p:p + 1])))
+        sv_1, logits_1 = eng.shapley_for_poses(batch, 1, region_id, orders)
+        np.testing.assert_allclose(sv[p], sv_1[0], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(logits[p], logits_1[0],
+                                   rtol=1e-5, atol=1e-6)
+
+    sv_nl, none = eng.enum_all_poses(disturb_batch, data, all_params,
+                                     1, region_id, orders, pose_chunk=2,
+                                     return_logits=False)
+    assert none is None
+    np.testing.assert_allclose(sv_nl, sv, rtol=1e-6, atol=1e-7)
