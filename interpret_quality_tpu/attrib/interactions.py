@@ -347,7 +347,8 @@ def run_interaction_logits(cfg: ExperimentConfig, mode_name: str = "rotate",
                            ratios: Sequence[float] = tuple(RATIOS),
                            coalition_sharding=None,
                            sample_indices: Optional[list] = None,
-                           gen_pair_seed: Optional[int] = None):
+                           gen_pair_seed: Optional[int] = None,
+                           resume: bool = False):
     """Save ratio<r>_all_logits.pt for normal pose, adv pose, and the
     rank-1 single region at normal pose (reference
     final_point_binary_interaction_logits.py:83-136).
@@ -386,12 +387,14 @@ def run_interaction_logits(cfg: ExperimentConfig, mode_name: str = "rotate",
             rows = 0
             for ratio in ratios:
                 t0 = time.time()
+                out_path = save_path + "ratio%d_all_logits.pt" % int(ratio * 100)
+                if resume and os.path.exists(out_path):
+                    io.cprint(f"  ratio {ratio:.2f}: exists, skipping (--resume)")
+                    continue
                 ctx = np.load(save_path
                               + "../ratio%d_context_list.npy" % int(ratio * 100))
                 logits = engine.logits_for_pairs(cloud, region_id, pair_list, ctx)
-                save_torch_tensor(
-                    save_path + "ratio%d_all_logits.pt" % int(ratio * 100),
-                    logits)
+                save_torch_tensor(out_path, logits)
                 rows += logits.shape[0] * logits.shape[1]
                 io.cprint(f"  ratio {ratio:.2f}: {logits.shape} "
                           f"in {time.time() - t0:.2f}s")

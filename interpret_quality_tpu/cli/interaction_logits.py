@@ -17,6 +17,8 @@ def main():
     p.add_argument("--ratio", type=float, nargs="+", default=None,
                    help="context-size ratios to process (reference "
                         "final_point_binary_interaction_logits.py:153)")
+    # --resume comes from base_parser; here it skips (pose, ratio) outputs
+    # whose ratio<r>_all_logits.pt already exists
     args = p.parse_args()
     cfg = config_from_args(args)
     from ..attrib.interactions import RATIOS, run_interaction_logits
@@ -26,7 +28,8 @@ def main():
                            ratios=tuple(RATIOS if args.ratio is None
                                         else args.ratio),
                            sample_indices=sample_indices_from_args(args),
-                           gen_pair_seed=args.gen_pair_seed)
+                           gen_pair_seed=args.gen_pair_seed,
+                           resume=args.resume)
 
 
 if __name__ == "__main__":

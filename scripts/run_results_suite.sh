@@ -22,7 +22,7 @@ for MODE in trans rotate scale; do
 done
 run smoothness_enum --model "$MODEL" "${FLAGS[@]}"
 run gen_pair --model "$MODEL" "${FLAGS[@]}"
-run interaction_logits --model "$MODEL" "${FLAGS[@]}"
+run interaction_logits --model "$MODEL" "${FLAGS[@]}" --resume
 run cal_interactions --model "$MODEL" "${FLAGS[@]}"
 for RMODE in sensitivity correlation smoothness; do
   run result --model "$MODEL" --result_mode "$RMODE" "${FLAGS[@]}"

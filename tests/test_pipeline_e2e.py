@@ -108,6 +108,15 @@ def test_full_pipeline(cfg, workdir):
         inter + "normal/ratio10_all_logits.pt")
     assert lg.shape == (5, 16, 10)          # pairs x 4*contexts x classes
 
+    # --resume skips (pose, ratio) outputs that already exist: a second
+    # invocation must leave every saved logits file untouched
+    mtime_before = os.path.getmtime(inter + "normal/ratio10_all_logits.pt")
+    run_interaction_logits(cfg, "rotate", synthetic=True,
+                           allow_random_init=True, ratios=RATIOS,
+                           sample_indices=SAMPLES, resume=True)
+    assert os.path.getmtime(
+        inter + "normal/ratio10_all_logits.pt") == mtime_before
+
     run_cal_interactions(cfg, "rotate", synthetic=True, output_type="pred",
                          ratios=RATIOS, sample_indices=SAMPLES)
     inter_scores = np.load(inter + "normal/ratio10_pred_interaction.npy")
