@@ -23,6 +23,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--interaction_batch_size", type=int, default=None)
     p.add_argument("--num_points", type=int, default=None,
                    help="points per cloud (default: config NUM_POINTS=1024)")
+    p.add_argument("--num_regions", type=int, default=None,
+                   help="FPS regions per cloud (default: config "
+                        "NUM_REGIONS=32; reference final_result.py:221)")
     p.add_argument("--num_samples_save", type=int, default=None,
                    help="permutations saved by shapley init (default 1000)")
     p.add_argument("--num_samples", type=int, default=None,
@@ -78,6 +81,7 @@ def config_from_args(args) -> ExperimentConfig:
         2 if getattr(args, "gather_precision", "bf16") == "hilo" else 1)
     extra = {k: v for k, v in (
         ("num_points", getattr(args, "num_points", None)),
+        ("num_regions", getattr(args, "num_regions", None)),
         ("num_samples_save", getattr(args, "num_samples_save", None)),
         ("num_samples", getattr(args, "num_samples", None)),
     ) if v is not None}
