@@ -26,6 +26,7 @@ import numpy as np
 from ..config import ExperimentConfig
 from ..pipeline import load_frozen_model, make_engine, resolve_dataset
 from ..utils.io import IOStream, mkdir, save_npy, save_torch_tensor
+from ..utils.profiling import StageTimer
 from ..utils.rng import set_random
 
 STEP = 1e-3
@@ -329,26 +330,33 @@ def test_all_region(engine, data: np.ndarray, lbl: int, orders: np.ndarray,
     active_j = jnp.asarray(np.array(usable, dtype=bool))
 
     smoothness_list, data_list, sv_list, logits_list = [], [], [], []
-    for epoch in range(max_epochs):
-        io.cprint("\n************ epoch %d ***********" % epoch)
-        step = ENUM_STEP if objective == "inc" else -ENUM_STEP
-        targets = jnp.where(active_j, smooth_j + step, smooth_j)
-        data_j, smooth_j, active_j = smoothness_epoch_all_regions(
-            data_j, orig_j, masks_j, orients_j, bounds_j, smooth_j,
-            active_j, targets, mode, objective)
-        smooth_np = np.asarray(smooth_j)
-        smoothness_list.append(smooth_np.tolist())
-        data_copy = np.asarray(data_j)
-        data_list.append(data_copy[None].copy())
-        io.cprint("curr smoothness: %s" % str(smooth_np))
+    # items = masked forwards inside the timed region (one Shapley recompute
+    # per epoch), so the JSON line lands in the same RESULTS.md throughput
+    # table as the enum/interaction stages
+    # (scripts/make_results_md.py parse_stage_timers)
+    with StageTimer(f"smoothness:{mode}:{objective}",
+                    printer=io.cprint) as timer:
+        for epoch in range(max_epochs):
+            io.cprint("\n************ epoch %d ***********" % epoch)
+            step = ENUM_STEP if objective == "inc" else -ENUM_STEP
+            targets = jnp.where(active_j, smooth_j + step, smooth_j)
+            data_j, smooth_j, active_j = smoothness_epoch_all_regions(
+                data_j, orig_j, masks_j, orients_j, bounds_j, smooth_j,
+                active_j, targets, mode, objective)
+            smooth_np = np.asarray(smooth_j)
+            smoothness_list.append(smooth_np.tolist())
+            data_copy = np.asarray(data_j)
+            data_list.append(data_copy[None].copy())
+            io.cprint("curr smoothness: %s" % str(smooth_np))
 
-        sv, logits = engine.shapley_for_pose(
-            data_copy, lbl, region_id, orders, return_logits=True)
-        sv_list.append(sv)
-        logits_list.append(logits)
-        io.cprint("region shapley value: %s" % str(sv))
-        if not bool(np.asarray(active_j).any()):
-            break
+            sv, logits = engine.shapley_for_pose(
+                data_copy, lbl, region_id, orders, return_logits=True)
+            sv_list.append(sv)
+            logits_list.append(logits)
+            io.cprint("region shapley value: %s" % str(sv))
+            if not bool(np.asarray(active_j).any()):
+                break
+        timer.items = len(sv_list) * orders.shape[0] * (R + 1)
 
     save_npy(result_path + "region_shapley_value.npy", np.array(sv_list))
     save_torch_tensor(result_path + "all_logits.pt", np.stack(logits_list))

@@ -48,17 +48,26 @@ def parse_stage_timers(exp_folder, names):
         if not os.path.isdir(base):
             continue
         for sub in os.listdir(base):
-            log = os.path.join(base, sub, "log.txt")
-            if not os.path.exists(log):
+            subdir = os.path.join(base, sub)
+            if not os.path.isdir(subdir):
                 continue
-            for line in open(log):
-                try:
-                    rec = json.loads(line)
-                except ValueError:
+            # stage logs live at <sample>/<sub>/log.txt; the smoothness
+            # stage nests one deeper: <sample>/<mode>_all/allregion_<obj>/
+            logs = [os.path.join(subdir, "log.txt")] + [
+                os.path.join(subdir, sub2, "log.txt")
+                for sub2 in sorted(os.listdir(subdir))
+                if os.path.isdir(os.path.join(subdir, sub2))]
+            for log in logs:
+                if not os.path.exists(log):
                     continue
-                if "items_per_sec" in rec:
-                    stage = rec["stage"].split(":")[0] + ":" + sub
-                    out.setdefault(stage, []).append(rec["items_per_sec"])
+                for line in open(log):
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue
+                    if "items_per_sec" in rec:
+                        stage = rec["stage"].split(":")[0] + ":" + sub
+                        out.setdefault(stage, []).append(rec["items_per_sec"])
     return {k: float(np.mean(v)) for k, v in sorted(out.items())}
 
 
