@@ -262,7 +262,11 @@ def test_make_results_md_script(cfg, workdir, monkeypatch):
     ], monkeypatch)
     text = open(out).read()
     for needle in ("Table 2", "Table 3", "Table 4",
-                   "| trans |", "| rotate |", "Interactions"):
+                   "| trans |", "| rotate |", "Interactions",
+                   # nested smoothness StageTimer logs must reach the
+                   # stage-throughput table (parse_stage_timers descends
+                   # into <mode>_all/allregion_<obj>/)
+                   "| smoothness:linearity_all |"):
         assert needle in text, needle
     # --append adds a second section instead of clobbering
     _run_script("make_results_md.py", [
