@@ -96,39 +96,92 @@ def _dist_tile(xq, xdb_t):
 _I32_MAX = 2**31 - 1
 
 
+def _pack_bits(dist):
+    """Nonnegative f32 distances -> int32 bit patterns (i32 ordering of the
+    patterns equals the f32 ordering of the values)."""
+    return jax.lax.bitcast_convert_type(jnp.maximum(dist, 0.0), jnp.int32)
+
+
 def _select_prep(dist, col, select: str):
-    """Distance tile -> the sweep's loop state (identity except ``packed``,
-    which embeds the column index in the low mantissa bits, see
-    `knn_select_impl`).  Kernels must thread the state only through
-    `_select_min` afterwards."""
-    if select != "packed":
-        return dist
-    n = dist.shape[1]
-    low_mask = (1 << (n - 1).bit_length()) - 1
-    bits = jax.lax.bitcast_convert_type(jnp.maximum(dist, 0.0), jnp.int32)
-    return (bits & ~low_mask) | col
+    """Distance tile -> the sweep's loop state.  Kernels must thread the
+    state only through `_select_min` afterwards.
 
-
-def _select_min(dist, col, select: str = "two_pass"):
-    """One arg-min sweep step with lowest-index tie break (exact for
-    two_pass/argmin; see `knn_select_impl` for packed's tie widening).
-
-    Returns (sel (Q, 1) int32, onehot (Q, N) bool, dist/state with the
-    selected lane masked out).
-    """
-    n = dist.shape[1]
-    if select == "packed":
+    packed/succ/hier embed the column index in the low mantissa bits
+    (`knn_select_impl`); succ additionally carries the previous minimum
+    (successor formulation — the tile is never mutated); hier additionally
+    carries per-128-lane-block minima; bf16 sweeps a bfloat16 copy of the
+    tile (ties within ~2^-8 relative break to the lowest index)."""
+    if select == "bf16":
+        return dist.astype(jnp.bfloat16)
+    if select in ("packed", "succ", "hier"):
+        n = dist.shape[1]
         low_mask = (1 << (n - 1).bit_length()) - 1
-        sel = jnp.min(dist, axis=1, keepdims=True) & low_mask
+        bits = (_pack_bits(dist) & ~low_mask) | col
+        if select == "succ":
+            return (bits, jnp.full((dist.shape[0], 1), -1, jnp.int32))
+        if select == "hier":
+            q = dist.shape[0]
+            nb = max(n // 128, 1)
+            blockmin = jnp.min(bits.reshape(q, nb, n // nb), axis=2)
+            return (bits, blockmin)
+        return bits
+    return dist
+
+
+def _select_min(state, col, select: str = "two_pass"):
+    """One arg-min sweep step with lowest-index tie break (exact for
+    two_pass/argmin; see `knn_select_impl` for packed's tie widening, which
+    succ/hier share and bf16 coarsens to ~2^-8).
+
+    Returns (sel (Q, 1) int32, onehot (Q, N) bool, updated state).
+    """
+    n = col.shape[1]
+    low_mask = (1 << (n - 1).bit_length()) - 1
+    # NB: the packed-family one-hots compare the loop-INVARIANT column iota
+    # against the extracted index (packed values embed a unique column, so
+    # this equals comparing the tile to the min value).  Comparing the tile
+    # itself (`state == selv`) adds a second full-tile consumer per unrolled
+    # step and overflows scoped VMEM at C=128 (measured: +6 MB over the
+    # 16 MB limit at dgcnn conv4).
+    if select == "packed":
+        sel = jnp.min(state, axis=1, keepdims=True) & low_mask
         onehot = col == sel
-        return sel, onehot, jnp.where(onehot, _I32_MAX, dist)
+        return sel, onehot, jnp.where(onehot, _I32_MAX, state)
+    if select == "succ":
+        # successor sweep: m_i = min{d : d > m_{i-1}} over the DISTINCT
+        # packed values — one read-only traversal, no tile mutation/writes.
+        bits, prev = state
+        cand = jnp.where(bits > prev, bits, _I32_MAX)
+        selv = jnp.min(cand, axis=1, keepdims=True)
+        onehot = col == (selv & low_mask)
+        return selv & low_mask, onehot, (bits, selv)
+    if select == "hier":
+        # block-hierarchical min (round-2 verdict experiment): extract from
+        # per-block minima, then refresh them.  Rows extract from different
+        # blocks, so the vectorised refresh degenerates to a full-tile pass
+        # — measured to document the floor (docs/PERF.md §3).
+        bits, blockmin = state
+        selv = jnp.min(blockmin, axis=1, keepdims=True)
+        onehot = col == (selv & low_mask)
+        bits = jnp.where(onehot, _I32_MAX, bits)
+        q = bits.shape[0]
+        nb = max(n // 128, 1)
+        blockmin = jnp.min(bits.reshape(q, nb, n // nb), axis=2)
+        return selv & low_mask, onehot, (bits, blockmin)
+    if select == "bf16":
+        rowmin = jnp.min(state, axis=1, keepdims=True)
+        sel = jnp.min(jnp.where(state == rowmin, col, n), axis=1,
+                      keepdims=True)
+        onehot = col == sel
+        return sel, onehot, jnp.where(onehot, jnp.bfloat16(_BIG), state)
     if select == "argmin":
-        sel = jnp.argmin(dist, axis=1, keepdims=True).astype(jnp.int32)
+        sel = jnp.argmin(state, axis=1, keepdims=True).astype(jnp.int32)
     else:
-        rowmin = jnp.min(dist, axis=1, keepdims=True)
-        sel = jnp.min(jnp.where(dist == rowmin, col, n), axis=1, keepdims=True)
+        rowmin = jnp.min(state, axis=1, keepdims=True)
+        sel = jnp.min(jnp.where(state == rowmin, col, n), axis=1,
+                      keepdims=True)
     onehot = col == sel
-    return sel, onehot, jnp.where(onehot, _BIG, dist)
+    return sel, onehot, jnp.where(onehot, _BIG, state)
 
 
 def _extrema_kernel(xq_ref, xdbt_ref, ahl_ref, omax_ref, omin_ref, *, k: int,
@@ -147,6 +200,78 @@ def _extrema_kernel(xq_ref, xdbt_ref, ahl_ref, omax_ref, omin_ref, *, k: int,
         oh = onehot.astype(jnp.bfloat16)
         ghl = jnp.dot(oh, ahl, preferred_element_type=jnp.float32)
         g = ghl if parts == 1 else ghl[:, :f] + ghl[:, f:]   # hi (+ lo)
+        amax = jnp.maximum(amax, g)
+        amin = jnp.minimum(amin, g)
+    omax_ref[0] = amax
+    omin_ref[0] = amin
+
+
+def knn_layout_impl() -> str:
+    """Distance-tile orientation for the fused kNN extrema sweep.
+
+    ``qn`` (default): queries on sublanes, database on lanes — the
+    per-neighbour min reduces across lanes (log2(128) shuffle steps per
+    vreg).  ``nq``: database on sublanes, queries on lanes — the reduction
+    combines whole vregs down the sublane axis (cheaper per element), the
+    gather matmul contracts dim 0 of both operands, and the selected-lane
+    masking is unchanged.  A/B knob: IQTPU_KNN_LAYOUT (read at trace time);
+    measured results in docs/PERF.md §3.
+    """
+    return os.environ.get("IQTPU_KNN_LAYOUT", "qn")
+
+
+def _select_prep_nq(dist, row, select: str):
+    """(N, Q)-layout sweep state: packed index in low mantissa bits; succ
+    carries the previous minimum instead of mutating the tile."""
+    n = dist.shape[0]
+    low_mask = (1 << (n - 1).bit_length()) - 1
+    bits = (_pack_bits(dist) & ~low_mask) | row
+    if select == "succ":
+        return (bits, jnp.full((1, dist.shape[1]), -1, jnp.int32))
+    return bits
+
+
+def _select_min_nq(state, row, select: str):
+    n = row.shape[0]
+    low_mask = (1 << (n - 1).bit_length()) - 1
+    if select == "succ":
+        bits, prev = state
+        cand = jnp.where(bits > prev, bits, _I32_MAX)
+        selv = jnp.min(cand, axis=0, keepdims=True)        # (1, Q)
+        onehot = row == (selv & low_mask)
+        return selv & low_mask, onehot, (bits, selv)
+    sel = jnp.min(state, axis=0, keepdims=True) & low_mask
+    onehot = row == sel
+    return sel, onehot, jnp.where(onehot, _I32_MAX, state)
+
+
+def _extrema_kernel_nq(xdb_ref, xqt_ref, ahl_ref, omax_ref, omin_ref, *,
+                       k: int, parts: int, select: str):
+    """(N, Q)-layout twin of `_extrema_kernel` (see `knn_layout_impl`)."""
+    xdb = xdb_ref[0]                                       # (N, C) f32
+    xqt = xqt_ref[0]                                       # (C, Q) f32
+    inner = jax.lax.dot_general(
+        xdb, xqt, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)                # (N, Q)
+    d2 = jnp.sum(xdb * xdb, axis=1, keepdims=True)         # (N, 1)
+    q2 = jnp.sum(xqt * xqt, axis=0, keepdims=True)         # (1, Q)
+    dist = d2 - 2.0 * inner + q2
+    n, q = dist.shape
+    f = ahl_ref.shape[-1] // parts
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, q), 0)
+    state = _select_prep_nq(dist, row, select)
+    ahl = ahl_ref[0]                                       # (N, parts*F) bf16
+
+    amax = jnp.full((q, f), -_BIG, jnp.float32)
+    amin = jnp.full((q, f), _BIG, jnp.float32)
+    for _ in range(k):
+        _, onehot, state = _select_min_nq(state, row, select)
+        oh = onehot.astype(jnp.bfloat16)                   # (N, Q)
+        ghl = jax.lax.dot_general(
+            oh, ahl, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (Q, parts*F)
+        g = ghl if parts == 1 else ghl[:, :f] + ghl[:, f:]
         amax = jnp.maximum(amax, g)
         amin = jnp.minimum(amin, g)
     omax_ref[0] = amax
@@ -175,14 +300,17 @@ def knn_gather_extrema(xs: jnp.ndarray, a: jnp.ndarray, k: int,
         parts = gather_value_parts()
     if select is None:
         select = knn_select_impl()
+    layout = knn_layout_impl()
     return _knn_gather_extrema(xs, a, k, block_q=block_q, parts=parts,
-                               select=select, interpret=interpret)
+                               select=select, layout=layout,
+                               interpret=interpret)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "block_q", "parts", "select",
-                                    "interpret"))
-def _knn_gather_extrema(xs, a, k, block_q, parts, select, interpret):
+                                    "layout", "interpret"))
+def _knn_gather_extrema(xs, a, k, block_q, parts, select, layout="qn",
+                        interpret=False):
     B, N, C = xs.shape
     F = a.shape[-1]
     bq = min(block_q, N)
@@ -191,9 +319,37 @@ def _knn_gather_extrema(xs, a, k, block_q, parts, select, interpret):
     xs_t = jnp.swapaxes(xs, 1, 2)                          # (B, C, N)
     ahl = _split_parts(a.astype(jnp.float32), parts)       # (B, N, parts*F)
 
+    out_shape = jax.ShapeDtypeStruct((B, N, F), jnp.float32)
+    out_specs = (
+        pl.BlockSpec((1, bq, F), lambda b, q: (b, q, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bq, F), lambda b, q: (b, q, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    if layout == "nq":
+        if select not in ("packed", "succ"):
+            select = "packed"       # nq implements the packed-order sweeps
+        kernel = functools.partial(_extrema_kernel_nq, k=k, parts=parts,
+                                   select=select)
+        omax, omin = pl.pallas_call(
+            kernel,
+            grid=(B, N // bq),
+            in_specs=[
+                pl.BlockSpec((1, N, C), lambda b, q: (b, 0, 0),
+                             memory_space=pltpu.VMEM),     # database rows
+                pl.BlockSpec((1, C, bq), lambda b, q: (b, 0, q),
+                             memory_space=pltpu.VMEM),     # query block^T
+                pl.BlockSpec((1, N, parts * F), lambda b, q: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=(out_shape, out_shape),
+            interpret=interpret,
+        )(xs, xs_t, ahl)
+        return omax, omin
+
     kernel = functools.partial(_extrema_kernel, k=k, parts=parts,
                                select=select)
-    out_shape = jax.ShapeDtypeStruct((B, N, F), jnp.float32)
     omax, omin = pl.pallas_call(
         kernel,
         grid=(B, N // bq),
@@ -205,12 +361,7 @@ def _knn_gather_extrema(xs, a, k, block_q, parts, select, interpret):
             pl.BlockSpec((1, N, parts * F), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, bq, F), lambda b, q: (b, q, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, F), lambda b, q: (b, q, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=out_specs,
         out_shape=(out_shape, out_shape),
         interpret=interpret,
     )(xs, xs_t, ahl)

@@ -23,7 +23,7 @@ from interpret_quality_tpu.ops.pallas import (knn_gather_extrema, knn_pallas,
 
 B, N, C, F, K = 2, 64, 4, 8, 7
 
-VARIANTS = ["argmin", "packed"]
+VARIANTS = ["argmin", "packed", "succ", "hier"]
 
 
 @pytest.fixture(scope="module")
@@ -82,3 +82,19 @@ def test_packed_tie_break_is_lowest_index():
     idx = np.asarray(knn_pallas(jnp.asarray(q), jnp.asarray(db), 4,
                                 select="packed", interpret=True))
     np.testing.assert_array_equal(idx[0, 0], [2, 3, 0, 1])
+
+
+def test_nq_layout_matches_qn(tied_cloud):
+    """The transposed (N, Q) extrema kernel must reproduce the (Q, N)
+    default exactly (same packed tie class) for both sweep styles."""
+    from interpret_quality_tpu.ops.pallas.neighbors import _knn_gather_extrema
+    xs = tied_cloud
+    rng = np.random.RandomState(6)
+    a = jnp.asarray(rng.randn(B, N, F).astype(np.float32))
+    ref = _knn_gather_extrema(xs, a, K, block_q=32, parts=2,
+                              select="packed", layout="qn", interpret=True)
+    for select in ("packed", "succ"):
+        got = _knn_gather_extrema(xs, a, K, block_q=32, parts=2,
+                                  select=select, layout="nq", interpret=True)
+        for x, y in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
