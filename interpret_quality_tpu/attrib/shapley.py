@@ -223,6 +223,12 @@ class ShapleyEngine:
         fn = self._enum_scan_jits.get(key)
         if fn is not None:
             return fn
+        if len(self._enum_scan_jits) > 16:
+            # disturb_batch is keyed by object identity: a caller that
+            # rebuilds the callable per invocation (run_enum builds it once
+            # per stage) would otherwise grow this dict and recompile
+            # unboundedly.  Bounded like _keep_cache/_scan_cache.
+            self._enum_scan_jits.clear()
 
         def impl(variables, data, params_steps, keep_steps, orders_steps,
                  region_id, label):
@@ -256,6 +262,108 @@ class ShapleyEngine:
         fn = jax.jit(impl)
         self._enum_scan_jits[key] = fn
         return fn
+
+    def _enum_scan_plan_for(self, disturb_fn: Callable, plan_fn: Callable,
+                            apply_plan: Callable, return_logits: bool):
+        """Jitted whole-grid enumeration with pose-invariant graph reuse.
+
+        Every pose is a rigid/uniform-scale transform of the SAME masked
+        coalition batch (masking commutes with the transform), and the
+        models' graph construction — FPS, kNN, ball membership, KDE density
+        — depends only on pairwise distances (models/plans.py).  So the scan
+        runs order chunks OUTSIDE and poses INSIDE: per chunk it masks once,
+        builds the graph plan once, then sweeps all poses paying only the
+        transform + the graph-free forward.  The selection sweeps —
+        the dominant per-forward cost of every graph family (docs/PERF.md
+        §3) — leave the pose loop entirely.
+        """
+        key = (disturb_fn, plan_fn, apply_plan, return_logits)
+        fn = self._enum_scan_jits.get(key)
+        if fn is not None:
+            return fn
+        if len(self._enum_scan_jits) > 16:
+            self._enum_scan_jits.clear()
+
+        def impl(variables, data, all_params, keep_steps, orders_steps,
+                 region_id, label):
+            T, O = orders_steps.shape[0], orders_steps.shape[1]
+            S = T * O
+            R = self.num_regions
+            center = jnp.mean(data, axis=0)
+
+            def order_body(carry, xs):
+                keep, orders = xs                       # (O, R+1, R), (O, R)
+                masked = masked_coalitions(data, center, keep, region_id)
+                if self.coalition_sharding is not None:
+                    masked = jax.lax.with_sharding_constraint(
+                        masked, self.coalition_sharding)
+                plan = plan_fn(masked)                  # once per order chunk
+
+                def pose_body(c2, params_one):
+                    xp = jax.vmap(disturb_fn, in_axes=(0, None))(
+                        masked, params_one)             # (O*(R+1), N, 3)
+                    logits = apply_plan(variables, xp, plan)
+                    v = reward_from_logits(logits, label, self.softmax_type)
+                    dv = v.reshape(O, R + 1)
+                    dv = dv[:, 1:] - dv[:, :-1]         # (O, R)
+                    sv = jnp.sum(marginals_by_region(dv, orders), axis=0)
+                    return c2, (sv, logits if return_logits else None)
+
+                _, (sv_p, logits_p) = jax.lax.scan(pose_body, 0, all_params)
+                return carry, (sv_p, logits_p)          # (P, R), (P, O*33, C)
+
+            _, (sv, logits) = jax.lax.scan(order_body, 0,
+                                           (keep_steps, orders_steps))
+            sv = jnp.sum(sv, axis=0) / S                # (P, R)
+            if return_logits:
+                # (T, P, O*(R+1), C) -> reference row layout per pose
+                logits = jnp.swapaxes(logits, 0, 1).reshape(
+                    all_params.shape[0], S * (R + 1), -1)
+            else:
+                logits = jnp.zeros((), jnp.float32)
+            return sv, logits
+
+        fn = jax.jit(impl)
+        self._enum_scan_jits[key] = fn
+        return fn
+
+    def enum_all_poses_plan(self, disturb_fn: Callable, data, all_params,
+                            label, region_id, orders, plan_fn: Callable,
+                            apply_plan: Callable, return_logits: bool = True):
+        """`enum_all_poses` with pose-invariant graph reuse (see
+        _enum_scan_plan_for).  ``disturb_fn`` is the single-cloud transform
+        ``((N, 3), params) -> (N, 3)``; ``plan_fn``/``apply_plan`` come from
+        the model's ForwardFn.  Returns the same (sv (P, R) float64 numpy,
+        logits (P, S*(R+1), C) numpy or None) contract."""
+        orders = np.asarray(orders)
+        S = orders.shape[0]
+        bs = min(self.batch_orders, S)
+        if S % bs != 0:
+            raise ValueError(f"order count {S} not a multiple of {bs}")
+        T = S // bs
+        scan_key = orders.tobytes()
+        cached = self._scan_cache.get(scan_key)
+        if cached is None:
+            keep_steps = np.stack([keep_matrix_from_orders(orders[s:s + bs])
+                                   for s in range(0, S, bs)])
+            cached = (jnp.asarray(keep_steps),
+                      jnp.asarray(orders.reshape(T, bs, -1)))
+            if len(self._scan_cache) > 8:
+                self._scan_cache.clear()
+            self._scan_cache[scan_key] = cached
+        keep_dev, orders_dev = cached
+
+        fn = self._enum_scan_plan_for(disturb_fn, plan_fn, apply_plan,
+                                      return_logits)
+        sv, logits = fn(self._variables, jnp.asarray(data),
+                        jnp.asarray(np.asarray(all_params)), keep_dev,
+                        orders_dev, jnp.asarray(region_id),
+                        jnp.asarray(label))
+        sv.copy_to_host_async()
+        if return_logits:
+            logits.copy_to_host_async()
+        sv = np.asarray(sv, dtype=np.float64)
+        return sv, (np.asarray(logits) if return_logits else None)
 
     def enum_all_poses(self, disturb_batch: Callable, data, all_params,
                        label, region_id, orders, pose_chunk: int,

@@ -75,13 +75,26 @@ def run_shapley_init(cfg: ExperimentConfig, synthetic: bool = False,
     fps_indices = np.load(fps_path)
 
     indices = sample_indices if sample_indices is not None else range(len(dataset))
+    sampling_mode = "antithetic" if antithetic else "iid"
     for i in indices:
         data, lbl = dataset[i]
         result_path = cfg.exp_folder + f"{names[i]}/"
         if resume and os.path.exists(result_path + "region_sv_all.npy"):
+            # guard against silently mixing i.i.d. and antithetic permutation
+            # streams across clouds of one experiment (ADVICE r2): the mode
+            # each cloud was sampled with is recorded in orders_mode.txt.
+            mode_path = result_path + "orders_mode.txt"
+            saved_mode = (open(mode_path).read().strip()
+                          if os.path.exists(mode_path) else "iid")
+            if saved_mode != sampling_mode:
+                print(f"[shapley_init] WARNING: {names[i]} resumed with "
+                      f"{saved_mode} permutations but this run samples "
+                      f"{sampling_mode} — streams are mixed across clouds")
             print(f"[shapley_init] {names[i]}: artifacts exist, skipping")
             continue
         mkdir(result_path)
+        with open(result_path + "orders_mode.txt", "w") as f:
+            f.write(sampling_mode + "\n")
 
         region_id = np.asarray(region_id_from_fps(
             jnp.asarray(data), jnp.asarray(fps_indices[i])))
@@ -147,6 +160,16 @@ def run_enum(cfg: ExperimentConfig, mode_name: str, synthetic: bool = False,
         all_params = all_params[:max_poses]
     disturb_batch = jax.jit(jax.vmap(mode.disturb_fn, in_axes=(None, 0)))
 
+    # Pose-invariant graph reuse (models/plans.py): valid for this
+    # (model, mode) pair and the one-dispatch path only.  IQTPU_ENUM_PLAN=0
+    # restores per-pose graph construction for A/B measurement.
+    from ..models.plans import plan_modes_for
+    use_plan = (mode_name in plan_modes_for(cfg.model)
+                and getattr(forward, "plan_fn", None) is not None
+                and os.environ.get("IQTPU_ENUM_PLAN", "1") != "0")
+    plan_fn = forward.plan_fn if use_plan else None
+    apply_plan = forward.apply_plan_fn if use_plan else None
+
     indices = sample_indices if sample_indices is not None else range(len(dataset))
     for pc_index in indices:
         data, lbl = dataset[pc_index]
@@ -177,7 +200,14 @@ def run_enum(cfg: ExperimentConfig, mode_name: str, synthetic: bool = False,
         S = orders.shape[0]
         ragged_orders = S % min(engine.batch_orders, S) != 0
         with device_trace(trace_dir), timer:
-            if not ragged_orders:
+            if not ragged_orders and use_plan:
+                # one dispatch AND the graph built once per order chunk:
+                # poses only pay the transform + the graph-free forward.
+                region_shapley_list, all_logits = engine.enum_all_poses_plan(
+                    mode.disturb_fn, data_j, all_params, lbl, region_id,
+                    orders, plan_fn, apply_plan,
+                    return_logits=save_logits)
+            elif not ragged_orders:
                 # whole grid in ONE dispatch: disturb + mask + forward +
                 # marginals scanned on device over (pose chunk, order
                 # chunk).  Through a high-latency tunnel the per-pose host

@@ -141,10 +141,13 @@ class _DGCNNBase(nn.Module):
     dynamic_graph: bool = True   # True: DGCNN, False: GCNN (fixed input graph)
 
     @nn.compact
-    def __call__(self, x, train: bool = False, fused=None):
+    def __call__(self, x, train: bool = False, fused=None, plan=None):
         # x: (B, N, 3).  fused=None auto-selects the Pallas neighbour
         # kernels on TPU eval (they are not differentiable; the BIM attack
-        # passes fused=False explicitly).
+        # passes fused=False explicitly).  plan: precomputed input-space kNN
+        # indices (B, N, k) from models.plans.dgcnn_plan — the layer-1 graph
+        # for DGCNN, the shared fixed graph for GCNN; pose-invariant, so
+        # perturbation enumeration builds it once and reuses it per pose.
         if fused is None:
             fused = (not train) and _on_tpu()
         convs = [EdgeConv(f, k=self.k, name=n) for f, n in
@@ -153,18 +156,21 @@ class _DGCNNBase(nn.Module):
         if fused and self.dynamic_graph:
             # graph recomputed in feature space before each layer; the
             # distance matrix + selection + gather all stay in VMEM.
-            x1 = convs[0](x, graph_feat=x, fused=True)
+            if plan is not None:
+                x1 = convs[0](x, idx=plan, fused=True)
+            else:
+                x1 = convs[0](x, graph_feat=x, fused=True)
             x2 = convs[1](x1, graph_feat=x1, fused=True)
             x3 = convs[2](x2, graph_feat=x2, fused=True)
             x4 = convs[3](x3, graph_feat=x3, fused=True)
         elif fused:
-            fix_idx = knn_pallas(x, x, self.k)
+            fix_idx = plan if plan is not None else knn_pallas(x, x, self.k)
             x1 = convs[0](x, fix_idx, fused=True)
             x2 = convs[1](x1, fix_idx, fused=True)
             x3 = convs[2](x2, fix_idx, fused=True)
             x4 = convs[3](x3, fix_idx, fused=True)
         else:
-            fix_idx = knn(x, self.k)
+            fix_idx = plan if plan is not None else knn(x, self.k)
             x1 = convs[0](x, fix_idx, train=train)
             idx2 = knn(x1, self.k) if self.dynamic_graph else fix_idx
             x2 = convs[1](x1, idx2, train=train)

@@ -65,21 +65,25 @@ class PointConvDensitySA(nn.Module):
     group_all: bool = False
 
     @nn.compact
-    def __call__(self, xyz, points, train: bool = False, fused: bool = False):
+    def __call__(self, xyz, points, train: bool = False, fused: bool = False,
+                 plan=None):
         """
         Args:
           xyz: (B, N, 3); points: (B, N, D) or None.
           fused: use the Pallas kNN + one-hot-matmul gather path with the
             first MLP layer hoisted above the gather (eval only).
+          plan: precomputed pose-invariant geometry
+            (models.plans.pointconv_plan): (fps_idx, idx, den, dmax) for an
+            SA level, or the inverse density (B, N) for the group-all level.
         Returns:
           new_xyz (B, S, 3), new_points (B, S, mlp[-1]).
         """
         B, N, _ = xyz.shape
-        density = compute_density(xyz, self.bandwidth)            # (B, N)
-        inv_density = 1.0 / density
         mlp = MLPStack(self.mlp, name="mlp")
 
         if self.group_all:
+            inv_density = (plan if plan is not None
+                           else 1.0 / compute_density(xyz, self.bandwidth))
             S = 1
             new_xyz = jnp.mean(xyz, axis=1, keepdims=True)        # (B, 1, 3)
             grouped_xyz = xyz[:, None, :, :] - new_xyz[:, :, None, :]
@@ -93,8 +97,15 @@ class PointConvDensitySA(nn.Module):
             S = self.npoint
             K = self.nsample
             D = 0 if points is None else points.shape[-1]
-            fps_idx = fps_pallas(xyz, S, block_b=16)
+            if plan is not None:
+                fps_idx, idx, den, dmax = plan
+            else:
+                inv_density = 1.0 / compute_density(xyz, self.bandwidth)
+                fps_idx = fps_pallas(xyz, S, block_b=16)
             new_xyz = index_points(xyz, fps_idx)                  # (B, S, 3)
+            if plan is None:
+                idx, den, dmax = knn_with_density(new_xyz, xyz,
+                                                  inv_density, K)
             # hoist MLP layer 1 above the gather (BN folded; input order is
             # [xyz offsets, features] — reference pointconv.py:137)
             folded = mlp(fold=True, c_in=D + 3)
@@ -107,7 +118,6 @@ class PointConvDensitySA(nn.Module):
             csw = new_xyz @ A1[:3]                                # (B, S, C1)
             dnet = DensityNet(name="densitynet")(fold=True)
             wnet = WeightNet(16, name="weightnet")(fold=True)
-            idx, den, dmax = knn_with_density(new_xyz, xyz, inv_density, K)
             out = fused_pointconv_sa(
                 idx, den, dmax, new_xyz, u, xyz, csw, A2, b2, A3, b3,
                 dnet, wnet, k=K, parts=gather_value_parts())      # (B,S,C3*16)
@@ -118,17 +128,23 @@ class PointConvDensitySA(nn.Module):
             return new_xyz, nn.relu(out)
         else:
             S = self.npoint
-            fps_idx = farthest_point_sample(xyz, S)
+            if plan is not None:
+                fps_idx, idx, den, _ = plan
+                grouped_density = den[..., None]                  # (B, S, K, 1)
+            else:
+                inv_density = 1.0 / compute_density(xyz, self.bandwidth)
+                fps_idx = farthest_point_sample(xyz, S)
             new_xyz = index_points(xyz, fps_idx)                  # (B, S, 3)
-            idx = knn_point(self.nsample, xyz, new_xyz)           # (B, S, K)
+            if plan is None:
+                idx = knn_point(self.nsample, xyz, new_xyz)       # (B, S, K)
+                grouped_density = index_points(
+                    inv_density[..., None], idx)                  # (B, S, K, 1)
             grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
             grouped = grouped_xyz
             if points is not None:
                 grouped_points = index_points(points, idx)
                 # reference order: [xyz offsets, features] (pointconv.py:137)
                 grouped = jnp.concatenate([grouped_xyz, grouped_points], -1)
-            grouped_density = index_points(
-                inv_density[..., None], idx)                      # (B, S, K, 1)
             h = mlp(grouped, train=train)                         # (B, S, K, C)
 
         inv_max = jnp.max(grouped_density, axis=2, keepdims=True)
@@ -154,20 +170,24 @@ class PointConvDensityClsSsg(nn.Module):
     num_classes: int = 10
 
     @nn.compact
-    def __call__(self, x, train: bool = False, fused=None):
+    def __call__(self, x, train: bool = False, fused=None, plan=None):
         # fused=None auto-selects the Pallas kNN/gather path on TPU eval
-        # (not differentiable).
+        # (not differentiable).  plan: models.plans.pointconv_plan output —
+        # ((level plans), group-all inverse density).
         if fused is None:
             fused = (not train) and on_tpu()
+        levels, invden3 = plan if plan is not None else ((None, None), None)
         l1_xyz, l1_points = PointConvDensitySA(
             512, 32, [64, 64, 128], 0.1, group_all=False,
-            name="sa1")(x, None, train=train, fused=fused)
+            name="sa1")(x, None, train=train, fused=fused, plan=levels[0])
         l2_xyz, l2_points = PointConvDensitySA(
             128, 64, [128, 128, 256], 0.2, group_all=False,
-            name="sa2")(l1_xyz, l1_points, train=train, fused=fused)
+            name="sa2")(l1_xyz, l1_points, train=train, fused=fused,
+                        plan=levels[1])
         _, l3_points = PointConvDensitySA(
             None, None, [256, 512, 1024], 0.4, group_all=True,
-            name="sa3")(l2_xyz, l2_points, train=train, fused=fused)
+            name="sa3")(l2_xyz, l2_points, train=train, fused=fused,
+                        plan=invden3)
 
         h = l3_points[:, 0, :] if l3_points.ndim == 3 else l3_points
         h = nn.Dense(512, name="fc1")(h)

@@ -28,21 +28,25 @@ class SetAbstractionMsg(nn.Module):
     mlp_list: Sequence[Sequence[int]]
 
     @nn.compact
-    def __call__(self, xyz, points, train: bool = False, fused: bool = False):
+    def __call__(self, xyz, points, train: bool = False, fused: bool = False,
+                 fps_idx=None):
         """
         Args:
           xyz: (B, N, 3) coordinates.
           points: (B, N, D) features or None.
           fused: use the Pallas fused ball-query + grouped-MLP kernel
             (eval only; the grouped (B, S, K, C) tensor never exists).
+          fps_idx: precomputed FPS indices (B, S) (models.plans.pointnet2_plan)
+            — pose-invariant, reused across enumeration poses; ball-query
+            membership stays per-pose (in-kernel) because it depends on the
+            absolute radius.
         Returns:
           new_xyz (B, S, 3), new_points (B, S, sum of last mlp dims).
         """
         S = self.npoint
-        if fused:
-            fps_idx = fps_pallas(xyz, S, block_b=16)
-        else:
-            fps_idx = farthest_point_sample(xyz, S)
+        if fps_idx is None:
+            fps_idx = (fps_pallas(xyz, S, block_b=16) if fused
+                       else farthest_point_sample(xyz, S))
         new_xyz = index_points(xyz, fps_idx)                     # (B, S, 3)
 
         outs = []
@@ -95,19 +99,22 @@ class PointNet2ClsMsg(nn.Module):
     num_classes: int = 10
 
     @nn.compact
-    def __call__(self, x, train: bool = False, fused=None):
+    def __call__(self, x, train: bool = False, fused=None, plan=None):
         # x: (B, N, 3).  fused=None auto-selects the Pallas fused
         # set-abstraction kernels on TPU eval (not differentiable).
+        # plan: (fps_idx_sa1, fps_idx_sa2) from models.plans.pointnet2_plan.
         if fused is None:
             fused = (not train) and on_tpu()
+        f1, f2 = plan if plan is not None else (None, None)
         l1_xyz, l1_points = SetAbstractionMsg(
             512, [0.1, 0.2, 0.4], [16, 32, 128],
             [[32, 32, 64], [64, 64, 128], [64, 96, 128]],
-            name="sa1")(x, None, train=train, fused=fused)
+            name="sa1")(x, None, train=train, fused=fused, fps_idx=f1)
         l2_xyz, l2_points = SetAbstractionMsg(
             128, [0.2, 0.4, 0.8], [32, 64, 128],
             [[64, 64, 128], [128, 128, 256], [128, 128, 256]],
-            name="sa2")(l1_xyz, l1_points, train=train, fused=fused)
+            name="sa2")(l1_xyz, l1_points, train=train, fused=fused,
+                        fps_idx=f2)
         feat = SetAbstractionAll([256, 512, 1024],
                                  name="sa3")(l2_xyz, l2_points, train=train)
 

@@ -84,6 +84,24 @@ class ForwardFn:
             out = out[0]
         return out
 
+    # -- pose-invariant graph plans (models/plans.py): perturbation
+    # enumeration builds the graph once per order chunk from the canonical
+    # masked batch and reuses it across all poses.
+    def plan_fn(self, x):
+        """Pure-geometry plan for a coalition batch, or None (pointnet)."""
+        from .common import on_tpu
+        from .plans import make_plan_fn
+        builder = make_plan_fn(self.model, fused=(not self.train) and on_tpu())
+        return None if builder is None else builder(x)
+
+    def apply_plan_fn(self, variables, x, plan):
+        if plan is None:
+            return self.apply_fn(variables, x)
+        out = self.model.apply(variables, x, train=self.train, plan=plan)
+        if isinstance(out, tuple):
+            out = out[0]
+        return out
+
     def __call__(self, x):
         return self.apply_fn(self.variables, x)
 
