@@ -378,52 +378,62 @@ def run_interaction_logits(cfg: ExperimentConfig, mode_name: str = "rotate",
         region_id = np.load(base_folder + "region_id.npy")
 
         io = IOStream(inter_folder + "log.txt")
+        try:
+            _interaction_logits_one(engine, io, data, region_id, name,
+                                    inter_folder, single_region_folder,
+                                    mode_name, ratios, resume, disturb_one)
+        finally:
+            io.close()
 
-        def save_all_orders(cloud, save_path):
-            pair_list = np.load(save_path + "../region_pair_list.npy")
-            if pair_list.size == 0:   # region with no ball-query neighbours
-                io.cprint(f"  {save_path}: no pairs, skipping")
-                return 0
-            rows = 0
-            for ratio in ratios:
-                t0 = time.time()
-                out_path = save_path + "ratio%d_all_logits.pt" % int(ratio * 100)
-                if resume and os.path.exists(out_path):
-                    io.cprint(f"  ratio {ratio:.2f}: exists, skipping (--resume)")
-                    continue
-                ctx = np.load(save_path
-                              + "../ratio%d_context_list.npy" % int(ratio * 100))
-                logits = engine.logits_for_pairs(cloud, region_id, pair_list, ctx)
-                save_torch_tensor(out_path, logits)
-                rows += logits.shape[0] * logits.shape[1]
-                io.cprint(f"  ratio {ratio:.2f}: {logits.shape} "
-                          f"in {time.time() - t0:.2f}s")
-            return rows
 
-        io.cprint(f"[interaction_logits] ======= sample {name} =======")
-        # one timer over all three pose states; items = masked forwards, so
-        # the JSON line lands in the same RESULTS.md throughput table as the
-        # enum stages (scripts/make_results_md.py parse_stage_timers)
-        with StageTimer(f"interaction:{name}", printer=io.cprint) as timer:
-            forwards = save_all_orders(data, inter_folder + "normal/")
+def _interaction_logits_one(engine, io, data, region_id, name,
+                            inter_folder, single_region_folder, mode_name,
+                            ratios, resume, disturb_one):
+    def save_all_orders(cloud, save_path):
+        pair_list = np.load(save_path + "../region_pair_list.npy")
+        if pair_list.size == 0:   # region with no ball-query neighbours
+            io.cprint(f"  {save_path}: no pairs, skipping")
+            return 0
+        rows = 0
+        for ratio in ratios:
+            t0 = time.time()
+            out_path = save_path + "ratio%d_all_logits.pt" % int(ratio * 100)
+            if resume and os.path.exists(out_path):
+                io.cprint(f"  ratio {ratio:.2f}: exists, skipping (--resume)")
+                continue
+            ctx = np.load(save_path
+                          + "../ratio%d_context_list.npy" % int(ratio * 100))
+            logits = engine.logits_for_pairs(cloud, region_id, pair_list, ctx)
+            save_torch_tensor(out_path, logits)
+            rows += logits.shape[0] * logits.shape[1]
+            io.cprint(f"  ratio {ratio:.2f}: {logits.shape} "
+                      f"in {time.time() - t0:.2f}s")
+        return rows
 
-            params = np.load(inter_folder
-                             + f"{mode_name}_adv/transform_params.npy"
-                             ).astype(np.float32)
-            data_disturb = np.asarray(disturb_one(jnp.asarray(data),
-                                                  jnp.asarray(params)))
-            forwards += save_all_orders(data_disturb,
-                                        inter_folder + f"{mode_name}_adv/")
+    io.cprint(f"[interaction_logits] ======= sample {name} =======")
+    # one timer over all three pose states; items = masked forwards, so
+    # the JSON line lands in the same RESULTS.md throughput table as the
+    # enum stages (scripts/make_results_md.py parse_stage_timers)
+    with StageTimer(f"interaction:{name}", printer=io.cprint) as timer:
+        forwards = save_all_orders(data, inter_folder + "normal/")
 
-            for rf in sorted(os.listdir(single_region_folder)):
-                region_folder = single_region_folder + rf + "/"
-                if not os.path.isdir(region_folder):
-                    continue
-                range_rank = int(rf[10:12])
-                if range_rank != 1:
-                    continue
-                forwards += save_all_orders(data, region_folder + "normal/")
-            timer.items = forwards
+        params = np.load(inter_folder
+                         + f"{mode_name}_adv/transform_params.npy"
+                         ).astype(np.float32)
+        data_disturb = np.asarray(disturb_one(jnp.asarray(data),
+                                              jnp.asarray(params)))
+        forwards += save_all_orders(data_disturb,
+                                    inter_folder + f"{mode_name}_adv/")
+
+        for rf in sorted(os.listdir(single_region_folder)):
+            region_folder = single_region_folder + rf + "/"
+            if not os.path.isdir(region_folder):
+                continue
+            range_rank = int(rf[10:12])
+            if range_rank != 1:
+                continue
+            forwards += save_all_orders(data, region_folder + "normal/")
+        timer.items = forwards
 
 
 # ---------------------------------------------------------------------------
