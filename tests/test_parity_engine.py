@@ -94,6 +94,87 @@ def test_shapley_values_match_reference_engine():
 
 
 
+@pytest.mark.parametrize("name,mode_name,n_points", [
+    ("pointnet2", "trans", 1024),   # certifies the ~0.0018 trans-sensitivity
+                                    # outlier as architecture-real (PointNet++
+                                    # groups by relative offsets)
+    ("dgcnn", "rotate", 512),
+])
+def test_enum_pose_matches_reference_engine(name, mode_name, n_points):
+    """One perturbation-enumeration pose, reference vs both our enum paths.
+
+    The reference enum loop disturbs the cloud THEN masks to the disturbed
+    cloud's centre (tools/final_common.py:158-165 + final_trans/
+    rotate_center_enum_all.py); our engine masks the canonical cloud once
+    and transforms the masked batch (enum_all_poses), or additionally
+    reuses the canonical graph plan across poses (enum_all_poses_plan).
+    Masking commutes with the rigid transform and the graphs are
+    pose-invariant, so all three must agree — this pins the graph-model
+    enum paths (round-2 verdict: engine parity ran pointnet only, so a
+    masking/centering bug specific to pointnet2/dgcnn would not be caught).
+    """
+    import torch
+
+    from test_parity_torch import _build_torch_model
+
+    from interpret_quality_tpu.attrib import ShapleyEngine
+    from interpret_quality_tpu.attrib.perturbations import MODES
+    from interpret_quality_tpu.data.datasets import (
+        SyntheticClouds, farthest_point_sample_np)
+    from interpret_quality_tpu.models import build_model, make_forward_fn
+    from interpret_quality_tpu.models.torch_convert import convert_state_dict
+    import jax.numpy as jnp
+
+    fc = _ref_engine()
+    S_, BS_ = 2, 2
+    cloud, _ = SyntheticClouds(num_samples=1, num_points=n_points)[0]
+    cloud = np.asarray(cloud, np.float32)
+    centers = farthest_point_sample_np(cloud, R)
+    region_id = ((cloud[:, None, :] - cloud[centers][None, :, :]) ** 2
+                 ).sum(-1).argmin(axis=1).astype(np.int64)
+    rng = np.random.RandomState(13)
+    orders = np.stack([rng.permutation(R) for _ in range(S_)])
+    label = 3
+    mode = MODES[mode_name]
+    params = (np.array([[0.12, -0.31, 0.2]], np.float32)
+              if mode_name == "trans"
+              else np.array([[0.4, -0.3, 0.25]], np.float32))
+
+    # ---- reference: transform-then-mask on torch-CPU --------------------
+    disturbed = np.asarray(mode.disturb_fn(jnp.asarray(cloud),
+                                           jnp.asarray(params[0])),
+                           np.float32)
+    tm = _build_torch_model(name)
+    ref_args = types.SimpleNamespace(
+        model=name, num_points=n_points, num_regions=R,
+        shapley_batch_size=BS_, num_samples=S_, softmax_type="modified")
+    with torch.no_grad():
+        ref_sv, ref_logits = fc.shap_sampling_all_regions_batch(
+            tm, torch.from_numpy(disturbed[None]), torch.tensor([label]),
+            region_id, orders, ref_args)
+    ref_logits = ref_logits.numpy()
+
+    # ---- ours: mask-then-transform, per-pose graph and plan reuse -------
+    variables = convert_state_dict(name, tm.state_dict())
+    model = build_model(name, num_classes=10, k=20)
+    fwd = make_forward_fn(model, variables)
+    engine = ShapleyEngine(fwd, num_regions=R, softmax_type="modified",
+                           batch_orders=BS_)
+    disturb_batch = jax.jit(jax.vmap(mode.disturb_fn, in_axes=(None, 0)))
+    sv, logits = engine.enum_all_poses(
+        disturb_batch, jnp.asarray(cloud), params, label, region_id,
+        orders, pose_chunk=1, return_logits=True)
+    sv_plan, logits_plan = engine.enum_all_poses_plan(
+        mode.disturb_fn, jnp.asarray(cloud), params, label, region_id,
+        orders, fwd.plan_fn, fwd.apply_plan_fn, return_logits=True)
+
+    assert ref_logits.shape == logits.shape[1:] == (S_ * (R + 1), 10)
+    for got_sv, got_logits in ((sv, logits), (sv_plan, logits_plan)):
+        np.testing.assert_allclose(got_logits[0], ref_logits,
+                                   rtol=2e-3, atol=5e-4)
+        np.testing.assert_allclose(got_sv[0], ref_sv, rtol=2e-3, atol=5e-4)
+
+
 def test_interactions_match_reference_engine():
     """Reference compute_order_interaction_logits + compute_order_interaction
     (final_point_binary_interaction_logits.py:15-70,
