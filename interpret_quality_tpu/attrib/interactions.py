@@ -55,6 +55,9 @@ def gen_pair_random(num_regions: int, num_pairs: int) -> np.ndarray:
     """Random (i, j) pairs, i < j (reference final_gen_pair.py:288-300)."""
     all_pairs = np.array([[i, j] for i in range(num_regions)
                           for j in range(num_regions) if j > i])
+    # At the reference scale (R=32, 300 of 496 pairs) this never clamps;
+    # reduced-R smoke configs have fewer than num_pairs candidates.
+    num_pairs = min(num_pairs, all_pairs.shape[0])
     idx = np.random.choice(all_pairs.shape[0], size=num_pairs, replace=False)
     return all_pairs[idx]
 

@@ -99,6 +99,8 @@ def test_shapley_values_match_reference_engine():
                                     # outlier as architecture-real (PointNet++
                                     # groups by relative offsets)
     ("dgcnn", "rotate", 512),
+    ("gcnn", "rotate", 512),    # gcnn_adv tables load this architecture
+    ("pointconv", "trans", 512),
 ])
 def test_enum_pose_matches_reference_engine(name, mode_name, n_points):
     """One perturbation-enumeration pose, reference vs both our enum paths.
