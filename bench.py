@@ -190,7 +190,26 @@ def stage_rates_from_logs(model: str, checkpoints_root: str = "./checkpoints",
                 key = rec["stage"].split(":")[0]
                 rates.setdefault(key, []).append(rec["items_per_sec"])
     import numpy as np
-    return {k: float(np.mean(v)) for k, v in sorted(rates.items())}
+    if rates:
+        return {k: float(np.mean(v)) for k, v in sorted(rates.items())}
+    # Host-reset fallback: the live artifact tree is gitignored and may not
+    # exist at driver-bench time; the chip queue commits each family's
+    # sustained rates into results/<model>_*.json (scripts/collect_evidence
+    # .py), so committed evidence keeps the suite projection on a
+    # stage-log basis across machines.
+    best: dict = {}
+    for path in sorted(_glob.glob(f"results/{model}_*.json")):
+        try:
+            ev = json.load(open(path))
+        except ValueError:
+            continue
+        by_stage = ev.get("stage_rates_by_stage") or {}
+        if by_stage and ev.get("generated_unix", 0) >= best.get(
+                "_gen", -1):
+            best = {k: float(v) for k, v in by_stage.items()}
+            best["_gen"] = ev.get("generated_unix", 0)
+    best.pop("_gen", None)
+    return best
 
 
 def suite_projection(engine_fps: float, rates: dict, model: str) -> dict:
@@ -198,7 +217,7 @@ def suite_projection(engine_fps: float, rates: dict, model: str) -> dict:
     measured rates, vs the same workload at the derived TITAN proxy rate."""
     enum_r = rates.get("enum") or engine_fps
     inter_r = rates.get("interaction") or engine_fps
-    init_r = rates.get("shapley") or engine_fps
+    init_r = rates.get("shapley_init") or rates.get("shapley") or engine_fps
     ours_h = (W_INIT / init_r + W_ENUM / enum_r + W_INTER / inter_r) / 3600
     ref = reference_fwds_per_sec(model)
     ref_h = (W_INIT + W_ENUM + W_INTER) / ref / 3600 if ref else None
@@ -272,6 +291,24 @@ def main():
             speedups.append(proj["suite_speedup_vs_ref"])
     suite_geo = (float(np.exp(np.mean([np.log(s) for s in speedups])))
                  if speedups else None)
+    bases = {m: d["basis"] for m, d in per_model.items()}
+    basis = ("stage_logs" if all(b == "stage_logs" for b in bases.values())
+             else "mixed" if any(b == "stage_logs" for b in bases.values())
+             else "engine_rate_fallback")
+    # Per-model detail and provenance ride on #-prefixed lines (like the
+    # per-model progress lines above); the headline stays ONE short JSON
+    # line the driver can always capture and parse (BENCH_r03 lesson:
+    # a multi-KB line came back "parsed": null).
+    print(f"# {json.dumps({'per_model': per_model})}", flush=True)
+    print("# baseline_note: vs_baseline divides engine rate by a derived "
+          "TITAN-RTX proxy (16.3 TFLOP/s fp32 x 30% util / XLA-counted "
+          "FLOPs per forward; the reference publishes no measured "
+          "throughput). sustained_* rates come from production StageTimer "
+          "logs in ./checkpoints, or committed results/<model>_*.json "
+          "evidence when the live tree is absent; projected_suite_hours "
+          "applies them to the BASELINE.md derived workload (init 0.99M + "
+          "enum 45.7M + interactions 46.8M forwards per model/dataset).",
+          flush=True)
     print(json.dumps({
         "metric": "masked_coalition_forwards_per_sec_geomean",
         "value": round(geo, 1),
@@ -279,16 +316,7 @@ def main():
         "vs_baseline": round(geo_vs, 3) if geo_vs else None,
         "suite_speedup_vs_ref_geomean": round(suite_geo, 3)
             if suite_geo else None,
-        "per_model": per_model,
-        "baseline_note": "vs_baseline divides engine rate by a derived "
-                         "TITAN-RTX proxy (16.3 TFLOP/s fp32 x 30% util / "
-                         "XLA-counted FLOPs per forward; the reference "
-                         "publishes no measured throughput). sustained_* "
-                         "rates are means of the production StageTimer "
-                         "logs in ./checkpoints; projected_suite_hours "
-                         "applies them to the BASELINE.md derived workload "
-                         "(init 0.99M + enum 45.7M + interactions 46.8M "
-                         "forwards per model/dataset).",
+        "suite_basis": basis,
     }))
 
 

@@ -56,7 +56,14 @@ def gen_pair_random(num_regions: int, num_pairs: int) -> np.ndarray:
     all_pairs = np.array([[i, j] for i in range(num_regions)
                           for j in range(num_regions) if j > i])
     # At the reference scale (R=32, 300 of 496 pairs) this never clamps;
-    # reduced-R smoke configs have fewer than num_pairs candidates.
+    # reduced-R smoke configs have fewer than num_pairs candidates.  The
+    # reference would raise here (np.random.choice replace=False); warn so
+    # reduced-R runs are distinguishable from full runs in the log
+    # (ADVICE r3).
+    if num_pairs > all_pairs.shape[0]:
+        print(f"[gen_pair] WARNING: only {all_pairs.shape[0]} distinct "
+              f"pairs exist at this region count; clamping num_pairs from "
+              f"{num_pairs}")
     num_pairs = min(num_pairs, all_pairs.shape[0])
     idx = np.random.choice(all_pairs.shape[0], size=num_pairs, replace=False)
     return all_pairs[idx]

@@ -16,6 +16,7 @@ The data-dependent while/stop logic stays on the host (SURVEY.md §3.5).
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Optional, Tuple
 
@@ -369,13 +370,19 @@ def test_all_region(engine, data: np.ndarray, lbl: int, orders: np.ndarray,
 def run_smoothness(cfg: ExperimentConfig, modes=SMOOTH_MODES,
                    synthetic: bool = False, allow_random_init: bool = False,
                    sample_indices: Optional[list] = None,
-                   max_epochs: Optional[int] = None):
-    """Full smoothness suite: {linearity, planarity, scattering} x {inc, dec}."""
+                   max_epochs: Optional[int] = None,
+                   coalition_sharding=None, resume: bool = False):
+    """Full smoothness suite: {linearity, planarity, scattering} x {inc, dec}.
+
+    ``resume`` skips (sample, mode, objective) cells whose final artifact
+    already exists, so an interrupted multi-hour suite restarts at the
+    first incomplete cell.  ``coalition_sharding`` shards each per-epoch
+    Shapley recompute over the mesh, like the enum stage."""
     epochs = EPOCH if max_epochs is None else max_epochs
     set_random(cfg.seed)
     dataset, names = resolve_dataset(cfg, synthetic)
     _, _, forward = load_frozen_model(cfg, allow_random_init)
-    engine = make_engine(cfg, forward)
+    engine = make_engine(cfg, forward, coalition_sharding)
 
     indices = sample_indices if sample_indices is not None else range(len(dataset))
     for pc_index in indices:
@@ -387,6 +394,12 @@ def run_smoothness(cfg: ExperimentConfig, modes=SMOOTH_MODES,
             mode_folder = base_folder + f"{mode}_all/"
             mkdir(mode_folder)
             for objective in ("inc", "dec"):
+                done_marker = (mode_folder + f"allregion_{objective}/"
+                               + "region_shapley_value.npy")
+                if resume and os.path.exists(done_marker):
+                    print(f"[smoothness:{mode}:{objective}] "
+                          f"{names[pc_index]}: artifacts exist, skipping")
+                    continue
                 test_all_region(engine, data, lbl, orders, region_id,
                                 mode_folder, cfg, mode, objective,
                                 max_epochs=epochs)

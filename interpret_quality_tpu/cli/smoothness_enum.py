@@ -2,7 +2,8 @@
 
 Replaces reference final_smoothness_center_enum_all.py.
 """
-from .common import base_parser, config_from_args, sample_indices_from_args
+from .common import (base_parser, config_from_args, sample_indices_from_args,
+                     sharding_from_args)
 
 
 def main():
@@ -16,7 +17,9 @@ def main():
                    synthetic=args.synthetic,
                    allow_random_init=args.allow_random_init,
                    sample_indices=sample_indices_from_args(args),
-                   max_epochs=args.max_epochs)
+                   max_epochs=args.max_epochs,
+                   coalition_sharding=sharding_from_args(args),
+                   resume=args.resume)
 
 
 if __name__ == "__main__":

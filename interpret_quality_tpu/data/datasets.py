@@ -343,8 +343,13 @@ class SyntheticClouds(_TrainBase):
         v = rng.rand(self.num_points)
         pc = self._shape(label, u, v).astype(np.float32)
         # cross-class morph: same (u, v) parameterisation, blended surface
+        # morph strength up to 0.45: at the top of the range the blended
+        # surface is genuinely ambiguous between the two classes, so test
+        # accuracy plateaus below 1.0 and the reference's best-checkpoint
+        # gate (main_cls_seed.py:108, acc >= 0.80) is exercised below
+        # saturation (round-3 verdict: alpha <= 0.2 still saturated).
         other = int(rng.randint(self.num_classes))
-        alpha = float(rng.uniform(0.0, 0.2))
+        alpha = float(rng.uniform(0.0, 0.45))
         if other != label:
             pc = ((1.0 - alpha) * pc
                   + alpha * self._shape(other, u, v).astype(np.float32))

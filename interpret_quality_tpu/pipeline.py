@@ -30,13 +30,19 @@ def load_frozen_model(cfg: ExperimentConfig, allow_random_init: bool = False):
     template = init_model(model, jax.random.PRNGKey(cfg.seed),
                           num_points=cfg.num_points)
     path = cfg.model_path or cfg.default_model_path()
-    if not os.path.exists(path) and os.path.basename(path) == "model_399.msgpack":
+    if (cfg.model_path is None and not os.path.exists(path)
+            and os.path.basename(path) == "model_399.msgpack"):
         # Reference parity: the adv checkpoint is named by its final epoch
         # (final_util.py:52-66 points at model_399).  Our adv trainer is
         # epoch-count agnostic and gates on accuracy, so when the fixed-epoch
-        # name is absent fall back to the same run's best checkpoint.
+        # name is absent fall back to the same run's best checkpoint.  Only
+        # the DEFAULT path gets this fallback: an explicit --model_path that
+        # doesn't exist should fail loudly, not silently load a different
+        # checkpoint (ADVICE r3).
         best = os.path.join(os.path.dirname(path), "model_best.msgpack")
         if os.path.exists(best):
+            print(f"[load_frozen_model] {os.path.basename(path)} absent; "
+                  f"substituting best checkpoint {best}")
             path = best
     if os.path.exists(path):
         variables = load_checkpoint(cfg.model, path, template)

@@ -170,11 +170,17 @@ def test_enum_pose_matches_reference_engine(name, mode_name, n_points):
         mode.disturb_fn, jnp.asarray(cloud), params, label, region_id,
         orders, fwd.plan_fn, fwd.apply_plan_fn, return_logits=True)
 
+    # per-architecture tolerances follow test_parity_torch.TOLS: pointnet2
+    # (ball query) and pointconv (kNN + KDE density) can flip boundary
+    # neighbours on ~1e-6 distance deltas, so their atol stays at the
+    # model-parity 1e-3 instead of the tighter selection-free bound
+    # (ADVICE r3).
+    tol = (dict(rtol=2e-3, atol=1e-3) if name in ("pointnet2", "pointconv")
+           else dict(rtol=2e-3, atol=5e-4))
     assert ref_logits.shape == logits.shape[1:] == (S_ * (R + 1), 10)
     for got_sv, got_logits in ((sv, logits), (sv_plan, logits_plan)):
-        np.testing.assert_allclose(got_logits[0], ref_logits,
-                                   rtol=2e-3, atol=5e-4)
-        np.testing.assert_allclose(got_sv[0], ref_sv, rtol=2e-3, atol=5e-4)
+        np.testing.assert_allclose(got_logits[0], ref_logits, **tol)
+        np.testing.assert_allclose(got_sv[0], ref_sv, **tol)
 
 
 def test_interactions_match_reference_engine():
