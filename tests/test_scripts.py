@@ -88,3 +88,50 @@ def test_misc_static_data_matches_reference():
     for f in ["modelnet10_train_final30.txt", "modelnet_id.txt",
               "num_seg_classes.txt", "shapenet_train_selected.json"]:
         assert (ours / f).read_bytes() == (theirs / f).read_bytes(), f
+
+
+def test_bench_stage_rates_fallback_reads_committed_evidence(tmp_path,
+                                                             monkeypatch):
+    """BENCH contract (round-3 verdict item 5): when the live checkpoints/
+    tree is absent (fresh host), stage rates must come from the committed
+    results/<model>_*.json evidence, keeping the suite projection on a
+    stage-log basis across host resets."""
+    import json
+    import os
+
+    monkeypatch.setenv("_IQ_BENCH_REEXEC", "1")   # disarm bench's re-exec
+    sys.path.insert(0, str(REPO))
+    try:
+        import bench
+    finally:
+        sys.path.remove(str(REPO))
+
+    (tmp_path / "results").mkdir()
+    ev = {"model": "dgcnn", "dataset": "modelnet10", "generated_unix": 5,
+          "stage_rates_by_stage": {"enum": 4300.0, "interaction": 4100.0,
+                                   "shapley_init": 4200.0,
+                                   "smoothness": 3900.0}}
+    (tmp_path / "results" / "dgcnn_synthetic.json").write_text(
+        json.dumps(ev))
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rates = bench.stage_rates_from_logs(
+            "dgcnn", checkpoints_root=str(tmp_path / "no_such_dir"))
+    finally:
+        os.chdir(old)
+    assert rates == ev["stage_rates_by_stage"]
+    proj = bench.suite_projection(4000.0, rates, "dgcnn")
+    assert proj["basis"] == "stage_logs"
+    assert proj["projected_suite_hours"] > 0
+
+    # and with neither logs nor evidence: empty rates, engine fallback
+    os.chdir(tmp_path / "results")
+    try:
+        rates2 = bench.stage_rates_from_logs(
+            "dgcnn", checkpoints_root=str(tmp_path / "no_such_dir"))
+    finally:
+        os.chdir(old)
+    assert rates2 == {}
+    assert bench.suite_projection(4000.0, rates2, "dgcnn")["basis"] == \
+        "engine_rate_fallback"
