@@ -65,8 +65,12 @@ train_adv() {
   [ -f "$ACK" ] && return 0
   [ -f "$GCK" ] || { log "gcnn ckpt missing for adv fine-tune"; return 1; }
   log "train gcnn_adv (BIM fine-tune)"
-  python -u -m interpret_quality_tpu.cli.train_adv --synthetic --epochs 8 \
-    --best_acc_gate 0 --resume_path "$GCK" > /tmp/gcnn_adv_train.log 2>&1
+  # fine-tune lr: the gcnn recipe multiplies base lr x100 (reference
+  # main_cls_adv.py:81, SGD 0.1 cosine over 400 ep); at 16 epochs that
+  # collapses the resumed model after one epoch (measured: 0.875 -> 0.25).
+  # 1e-4 base -> SGD 0.01 keeps the fine-tune stable.
+  python -u -m interpret_quality_tpu.cli.train_adv --synthetic --epochs 16 \
+    --lr 1e-4 --best_acc_gate 0 --resume_path "$GCK" > /tmp/gcnn_adv_train.log 2>&1
 }
 
 run_cli() { python -u -m "interpret_quality_tpu.cli.$@"; }
@@ -178,13 +182,14 @@ if [ "$PHASE" = all ] || [ "$PHASE" = train ]; then
 fi
 
 if [ "$PHASE" = all ] || [ "$PHASE" = tables ]; then
-  log "==== phase B: pointnet complete, then graph tables ===="
+  log "==== phase B: pointnet complete, then gcnn tables ===="
   do_tables pointnet && do_inter pointnet
-  for M in gcnn gcnn_adv; do do_tables "$M"; done
+  do_tables gcnn
 fi
 
 if [ "$PHASE" = all ] || [ "$PHASE" = shapenet ]; then
-  log "==== phase D: ShapeNet suites (fixture tree) ===="
+  log "==== phase C: ShapeNet suite (fixture tree) — before the long adv
+  suite so the round boundary truncates the resumable one ===="
   python scripts/make_shapenet_fixture.py >/dev/null 2>&1 || true
   for M in pointnet; do
     CK="checkpoints/exp_MODEL_${M}_DATA_shapenet_POINTNUM_1024_clean/models/model_best.msgpack"
@@ -219,7 +224,8 @@ No-Verification-Needed: generated results/doc-only append"; } \
 fi
 
 if [ "$PHASE" = all ] || [ "$PHASE" = tail ]; then
-  log "==== phase E: dgcnn tables, then remaining work (resumable) ===="
+  log "==== phase D: gcnn_adv tables, then remaining work (resumable) ===="
+  do_tables gcnn_adv
   do_tables dgcnn
   do_inter gcnn
   do_inter gcnn_adv
