@@ -95,6 +95,10 @@ def run_shapley_init(cfg: ExperimentConfig, synthetic: bool = False,
         mkdir(result_path)
         with open(result_path + "orders_mode.txt", "w") as f:
             f.write(sampling_mode + "\n")
+        # tee the stage log (incl. the StageTimer JSON line) into the
+        # sample root so sustained init rates land in the committed
+        # evidence like the enum/interaction/smoothness stages do
+        io = IOStream(result_path + "log.txt")
 
         region_id = np.asarray(region_id_from_fps(
             jnp.asarray(data), jnp.asarray(fps_indices[i])))
@@ -109,9 +113,11 @@ def run_shapley_init(cfg: ExperimentConfig, synthetic: bool = False,
 
         with device_trace(trace_dir), StageTimer(
                 f"shapley_init:{names[i]}",
-                items=cfg.num_samples_save * (cfg.num_regions + 1)):
+                items=cfg.num_samples_save * (cfg.num_regions + 1),
+                printer=io.cprint):
             _, per_order = engine.shapley_for_pose(
                 data, lbl, region_id, all_orders, return_per_order=True)
+        io.close()
         # per_order: (num_samples_save, R) single-order estimates
         save_npy(result_path + "region_sv_all.npy", per_order)
 

@@ -47,6 +47,18 @@ def parse_stage_timers(exp_folder, names):
         base = exp_folder + name + "/"
         if not os.path.isdir(base):
             continue
+        # sample-root log: the shapley-init stage tees its StageTimer line
+        # here (no artifact subfolder of its own)
+        root_log = os.path.join(base, "log.txt")
+        if os.path.exists(root_log):
+            for line in open(root_log):
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if "items_per_sec" in rec:
+                    out.setdefault(rec["stage"].split(":")[0], []).append(
+                        rec["items_per_sec"])
         for sub in os.listdir(base):
             subdir = os.path.join(base, sub)
             if not os.path.isdir(subdir):
