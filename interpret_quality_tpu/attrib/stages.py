@@ -205,23 +205,56 @@ def run_enum(cfg: ExperimentConfig, mode_name: str, synthetic: bool = False,
                            printer=io.cprint)
         S = orders.shape[0]
         ragged_orders = S % min(engine.batch_orders, S) != 0
+        # Pose-BLOCKED dispatches: the scan-the-whole-grid design makes one
+        # device program per (sample, mode), but a single graph-model
+        # program over all 216 poses runs 70-250 s on-device and this
+        # host's tunnel kills the TPU worker past ~60 s of execution
+        # (measured: gcnn plan-path at 48 poses = ok, 120/216 = worker
+        # crash).  Blocks of 24 poses keep every dispatch under ~30 s for
+        # the slowest family while still amortising launch RPCs 24x; the
+        # tail is padded to the block size (one compiled shape) and sliced
+        # off after the fetch.  IQTPU_ENUM_POSE_BLOCK=0 restores the
+        # single-dispatch grid.
+        block = int(os.environ.get("IQTPU_ENUM_POSE_BLOCK", "24"))
+        if block <= 0 or block > P:
+            block = P
+
+        def _blocked(call):
+            sv_list, logit_list = [], []
+            for start in range(0, P, block):
+                chunk = np.asarray(all_params[start:start + block])
+                valid = chunk.shape[0]
+                if valid < block:
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], block - valid, 0)], 0)
+                sv_b, lg_b = call(jnp.asarray(chunk))
+                sv_list.append(sv_b[:valid])
+                if save_logits:
+                    logit_list.append(lg_b[:valid])
+            sv_all = np.concatenate(sv_list, axis=0)
+            lg_all = (np.concatenate(logit_list, axis=0)
+                      if save_logits else None)
+            return sv_all, lg_all
+
         with device_trace(trace_dir), timer:
             if not ragged_orders and use_plan:
-                # one dispatch AND the graph built once per order chunk:
-                # poses only pay the transform + the graph-free forward.
-                region_shapley_list, all_logits = engine.enum_all_poses_plan(
-                    mode.disturb_fn, data_j, all_params, lbl, region_id,
-                    orders, plan_fn, apply_plan,
-                    return_logits=save_logits)
+                # graph built once per (order chunk, pose block): poses
+                # only pay the transform + the graph-free forward.
+                region_shapley_list, all_logits = _blocked(
+                    lambda chunk: engine.enum_all_poses_plan(
+                        mode.disturb_fn, data_j, chunk, lbl, region_id,
+                        orders, plan_fn, apply_plan,
+                        return_logits=save_logits))
             elif not ragged_orders:
-                # whole grid in ONE dispatch: disturb + mask + forward +
+                # blocked grid dispatches: disturb + mask + forward +
                 # marginals scanned on device over (pose chunk, order
                 # chunk).  Through a high-latency tunnel the per-pose host
-                # loop cost ~4 blocking RPCs per pose; this path makes the
-                # stage a single launch + a single fetch.
-                region_shapley_list, all_logits = engine.enum_all_poses(
-                    disturb_batch, data_j, all_params, lbl, region_id,
-                    orders, pose_chunk, return_logits=save_logits)
+                # loop cost ~4 blocking RPCs per pose; this path needs one
+                # launch + one fetch per pose block.
+                region_shapley_list, all_logits = _blocked(
+                    lambda chunk: engine.enum_all_poses(
+                        disturb_batch, data_j, chunk, lbl, region_id,
+                        orders, pose_chunk, return_logits=save_logits))
             else:
                 # ragged order count (S not a multiple of the order chunk):
                 # per-pose-chunk host loop, device arrays fetched once.
