@@ -35,7 +35,13 @@ class StageTimer:
     def __exit__(self, *exc):
         self.seconds = time.perf_counter() - self._t0
         rec = {"stage": self.stage, "seconds": round(self.seconds, 4)}
-        if self.items is not None:
+        if exc and exc[0] is not None:
+            # the stage died mid-flight: items/seconds would fabricate an
+            # inflated throughput (observed: a worker crash logged 11.7k
+            # fwd/s for a stage that never ran), and evidence collection
+            # averages these lines — record the abort instead of a rate
+            rec["aborted"] = True
+        elif self.items is not None:
             rec["items_per_sec"] = round(self.items / self.seconds, 1)
         if self.printer is not None:
             self.printer(json.dumps(rec))
