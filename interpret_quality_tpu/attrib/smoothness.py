@@ -296,7 +296,9 @@ def test_all_region(engine, data: np.ndarray, lbl: int, orders: np.ndarray,
     t0 = time.time()
     result_path = mode_folder + f"allregion_{objective}/"
     mkdir(result_path)
-    io = IOStream(result_path + "log.txt")
+    # "w": a rerun recomputes this cell whole, and appending would leave a
+    # stale StageTimer line that gets averaged (ADVICE r4)
+    io = IOStream(result_path + "log.txt", "w")
     io.cprint(str(cfg))
 
     data_copy = np.array(data, np.float32)

@@ -97,27 +97,28 @@ def run_shapley_init(cfg: ExperimentConfig, synthetic: bool = False,
             f.write(sampling_mode + "\n")
         # tee the stage log (incl. the StageTimer JSON line) into the
         # sample root so sustained init rates land in the committed
-        # evidence like the enum/interaction/smoothness stages do
-        io = IOStream(result_path + "log.txt")
+        # evidence like the enum/interaction/smoothness stages do; mode "w"
+        # because a rerun recomputes this sample whole — an appended second
+        # StageTimer line would get averaged with the stale one (ADVICE r4)
+        with IOStream(result_path + "log.txt", "w") as io:
+            region_id = np.asarray(region_id_from_fps(
+                jnp.asarray(data), jnp.asarray(fps_indices[i])))
+            save_npy(result_path + "region_id.npy", region_id)
 
-        region_id = np.asarray(region_id_from_fps(
-            jnp.asarray(data), jnp.asarray(fps_indices[i])))
-        save_npy(result_path + "region_id.npy", region_id)
+            nf = norm_factor(forward, data, lbl, cfg.softmax_type)
+            save_npy(result_path + "norm_factor.npy", nf)
 
-        nf = norm_factor(forward, data, lbl, cfg.softmax_type)
-        save_npy(result_path + "norm_factor.npy", nf)
+            all_orders = generate_all_orders(cfg.num_samples_save,
+                                             cfg.num_regions,
+                                             antithetic=antithetic)
+            save_npy(result_path + "all_orders.npy", all_orders)
 
-        all_orders = generate_all_orders(cfg.num_samples_save, cfg.num_regions,
-                                         antithetic=antithetic)
-        save_npy(result_path + "all_orders.npy", all_orders)
-
-        with device_trace(trace_dir), StageTimer(
-                f"shapley_init:{names[i]}",
-                items=cfg.num_samples_save * (cfg.num_regions + 1),
-                printer=io.cprint):
-            _, per_order = engine.shapley_for_pose(
-                data, lbl, region_id, all_orders, return_per_order=True)
-        io.close()
+            with device_trace(trace_dir), StageTimer(
+                    f"shapley_init:{names[i]}",
+                    items=cfg.num_samples_save * (cfg.num_regions + 1),
+                    printer=io.cprint):
+                _, per_order = engine.shapley_for_pose(
+                    data, lbl, region_id, all_orders, return_per_order=True)
         # per_order: (num_samples_save, R) single-order estimates
         save_npy(result_path + "region_sv_all.npy", per_order)
 
@@ -185,7 +186,9 @@ def run_enum(cfg: ExperimentConfig, mode_name: str, synthetic: bool = False,
             print(f"[enum:{mode_name}] {names[pc_index]}: artifacts exist, skipping")
             continue
         mkdir(mode_folder)
-        io = IOStream(mode_folder + "log.txt")
+        # "w": a rerun recomputes this (sample, mode) whole, and appending
+        # would leave a stale StageTimer line that gets averaged (ADVICE r4)
+        io = IOStream(mode_folder + "log.txt", "w")
         io.cprint(str(cfg))
 
         nf = np.load(base_folder + "norm_factor.npy")

@@ -29,6 +29,13 @@ MISC_DIR = os.path.join(_PKG_DIR, "misc")
 MODELNET10_SHAPES = ["bathtub", "bed", "chair", "desk", "dresser",
                      "monitor", "night_stand", "sofa", "table", "toilet"]
 
+# Synthetic-set distribution version: the cross-class morph strength cap.
+# Changing it changes train AND eval distributions, making checkpoints and
+# committed results/*.json from different caps non-comparable — evidence
+# JSONs stamp this value so cross-round tables can't silently mix
+# distributions (ADVICE r4).
+SYNTHETIC_MORPH_ALPHA_MAX = 0.45
+
 
 def farthest_point_sample_np(point: np.ndarray, npoint: int) -> np.ndarray:
     """Numpy FPS with the first point fixed at 0 (reference
@@ -349,7 +356,7 @@ class SyntheticClouds(_TrainBase):
         # gate (main_cls_seed.py:108, acc >= 0.80) is exercised below
         # saturation (round-3 verdict: alpha <= 0.2 still saturated).
         other = int(rng.randint(self.num_classes))
-        alpha = float(rng.uniform(0.0, 0.45))
+        alpha = float(rng.uniform(0.0, SYNTHETIC_MORPH_ALPHA_MAX))
         if other != label:
             pc = ((1.0 - alpha) * pc
                   + alpha * self._shape(other, u, v).astype(np.float32))

@@ -13,10 +13,23 @@ import numpy as np
 
 
 class IOStream:
-    """Tee logger (reference tools/final_util.py:90-100)."""
+    """Tee logger (reference tools/final_util.py:90-100).
 
-    def __init__(self, path: str):
-        self.f = open(path, "a")
+    Usable as a context manager so stage code can't leak the fd when the
+    wrapped work raises (ADVICE r4).  ``mode="w"`` truncates: per-sample
+    stage logs are rewritten whole on every (re)run, so appending would
+    leave stale StageTimer lines that parse_stage_timers averages in.
+    """
+
+    def __init__(self, path: str, mode: str = "a"):
+        self.f = open(path, mode)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def cprint(self, text: str):
         print(text)

@@ -72,6 +72,13 @@ def main():
         "num_eval_samples": len(names),
         "orders_per_pose": cfg.num_samples,
     }
+    if args.synthetic:
+        # distribution version: which synthetic-set morph cap produced these
+        # numbers (ADVICE r4 — tables must not silently mix distributions)
+        from interpret_quality_tpu.data.datasets import \
+            SYNTHETIC_MORPH_ALPHA_MAX
+        ev["dataset_version"] = {
+            "synthetic_morph_alpha_max": SYNTHETIC_MORPH_ALPHA_MAX}
 
     tl = parse_train_log(os.path.join(
         os.path.dirname(os.path.dirname(cfg.default_model_path())),
@@ -114,15 +121,24 @@ def main():
 
     try:
         from interpret_quality_tpu.attrib.interactions import RATIOS
-        from interpret_quality_tpu.results.plots import \
-            get_interaction_normal_adv_pose
+        from interpret_quality_tpu.results.plots import (
+            get_interaction_normal_adv_pose, selected_sample_indices)
         _, abs_n, _, abs_a = get_interaction_normal_adv_pose(
             cfg, "rotate", names, "pred", sample_indices=None)
+        # true pair count per cloud from a raw per-ratio artifact — the
+        # abs_n row count is the number of selected *clouds*, which an
+        # earlier round mislabelled "num_pairs" (ADVICE/VERDICT r4)
+        idx0 = selected_sample_indices(cfg.dataset)[0]
+        arr0 = np.load(cfg.exp_folder + "%s/interaction_seed%d/normal/"
+                       "ratio0_pred_interaction.npy" % (names[idx0],
+                                                        cfg.seed))
         ev["interactions"] = {
             "ratios": [float(r) for r in RATIOS],
             "abs_mean_normal": [float(x) for x in abs_n.mean(0)],
             "abs_mean_adv": [float(x) for x in abs_a.mean(0)],
-            "num_pairs": int(abs_n.shape[0]),
+            "num_samples": int(abs_n.shape[0]),
+            "pairs_per_cloud": int(arr0.shape[0]),
+            "num_pairs_total": int(abs_n.shape[0] * arr0.shape[0]),
         }
     except Exception as e:  # interaction artifacts optional
         ev["interactions"] = {"incomplete": str(e)[:200]}
