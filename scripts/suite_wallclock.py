@@ -1,0 +1,95 @@
+"""Measured full-family suite wall-clock (VERDICT r4 #7): sum the StageTimer
+records of one family's artifact tree into measured per-stage hours, and set
+them against the derived TITAN-RTX reference proxy for the SAME measured
+forward counts — turning the BASELINE.md north-star from a projection into a
+measurement for every family whose suite has actually run.
+
+Each StageTimer JSON line records the on-host wall-clock of one timed stage
+(device work + host orchestration + artifact writes for that stage), so the
+sum is the chip-busy wall-clock of the suite, excluding only process startup
+and compile (cached after the first stage) and queue bookkeeping between
+stages.
+
+Writes results/suite_wallclock.json (all families found).
+"""
+import collections
+import glob
+import json
+import os
+import sys
+
+CKPT = "./checkpoints"
+MODELS = ["pointnet", "pointnet2", "pointconv", "dgcnn", "gcnn", "gcnn_adv"]
+
+# derived TITAN proxy (same envelope as bench.py: 16.3 TFLOP/s fp32 x 30%
+# util / XLA-counted GFLOP per masked forward)
+GFLOP = {"pointnet": 0.900, "pointnet2": 8.096, "pointconv": 2.480,
+         "dgcnn": 1.963, "gcnn": 1.331, "gcnn_adv": 1.331}
+TITAN_EFF = 16.3e12 * 0.30
+
+
+def family_wallclock(model: str, dataset: str = "modelnet10"):
+    root = (f"{CKPT}/exp_MODEL_{model}_DATA_{dataset}_POINTNUM_1024_"
+            f"REGIONNUM_32_shapley_test")
+    if not os.path.isdir(root):
+        return None
+    agg = collections.defaultdict(lambda: [0.0, 0.0, 0])  # sec, fwds, n
+    for pat in ("*/log.txt", "*/*/log.txt", "*/*/*/log.txt",
+                "*/*/*/*/log.txt"):
+        for log in glob.glob(f"{root}/{pat}"):
+            for line in open(log):
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if "seconds" in rec and "stage" in rec:
+                    k = rec["stage"].split(":")[0]
+                    agg[k][0] += rec["seconds"]
+                    agg[k][1] += rec["seconds"] * rec.get("items_per_sec", 0)
+                    agg[k][2] += 1
+    if not agg:
+        return None
+    stages = {k: {"measured_hours": round(s / 3600, 4),
+                  "forwards_millions": round(f / 1e6, 2),
+                  "stage_records": n}
+              for k, (s, f, n) in sorted(agg.items())}
+    tot_s = sum(v[0] for v in agg.values())
+    tot_f = sum(v[1] for v in agg.values())
+    ref_rate = TITAN_EFF / (GFLOP[model] * 1e9)
+    ref_h = tot_f / ref_rate / 3600
+    return {
+        "stages": stages,
+        "measured_total_hours": round(tot_s / 3600, 3),
+        "measured_total_forwards_millions": round(tot_f / 1e6, 1),
+        "ref_proxy_hours_same_forwards": round(ref_h, 3),
+        "measured_speedup_vs_ref_proxy": round(ref_h * 3600 / tot_s, 3),
+    }
+
+
+def main():
+    out = {"note": ("measured = sum of StageTimer wall-clock records in the "
+                    "family's artifact tree (device + host orchestration + "
+                    "artifact writes per stage; excludes compile and queue "
+                    "bookkeeping). ref proxy = the same measured forward "
+                    "count at the derived TITAN-RTX envelope "
+                    "(16.3 TFLOP/s fp32 x 30% util / XLA GFLOP per forward "
+                    "— the reference publishes no measured throughput)."),
+           "hardware": "TPU v5e-1 (axon tunnel), single chip",
+           "families": {}}
+    for m in MODELS:
+        r = family_wallclock(m)
+        if r:
+            out["families"][m] = r
+            print(f"{m:10s} measured {r['measured_total_hours']:6.3f} h "
+                  f"({r['measured_total_forwards_millions']}M fwds) "
+                  f"vs ref proxy {r['ref_proxy_hours_same_forwards']:6.3f} h "
+                  f"-> {r['measured_speedup_vs_ref_proxy']}x")
+    os.makedirs("results", exist_ok=True)
+    with open("results/suite_wallclock.json", "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print("wrote results/suite_wallclock.json")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
