@@ -347,6 +347,18 @@ def main():
     # line the driver can always capture and parse (BENCH_r03 lesson:
     # a multi-KB line came back "parsed": null).
     print(f"# {json.dumps({'per_model': per_model})}", flush=True)
+
+    # measured (not projected) suite wall-clock, when the committed
+    # StageTimer summary exists (scripts/suite_wallclock.py, VERDICT r4 #7)
+    measured_speedups = {}
+    try:
+        wc = json.load(open("results/suite_wallclock.json"))
+        for m, fam in wc.get("families", {}).items():
+            measured_speedups[m] = fam["measured_speedup_vs_ref_proxy"]
+        print(f"# measured_wallclock {json.dumps(wc['families'])}",
+              flush=True)
+    except (OSError, ValueError, KeyError):
+        pass
     print("# baseline_note: vs_baseline divides engine rate by a derived "
           "TITAN-RTX proxy (16.3 TFLOP/s fp32 x 30% util / XLA-counted "
           "FLOPs per forward; the reference publishes no measured "
@@ -364,6 +376,11 @@ def main():
         "suite_speedup_vs_ref_geomean": round(suite_geo, 3)
             if suite_geo else None,
         "suite_basis": basis,
+        # pointnet is the one family whose COMPLETE suite (incl.
+        # interactions) has a measured wall-clock in every round so far;
+        # report it as the stable measured headline alongside the geomeans
+        "measured_suite_speedup_pointnet":
+            measured_speedups.get("pointnet"),
     }))
 
 
