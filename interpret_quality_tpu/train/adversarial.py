@@ -199,16 +199,26 @@ def fit_adversarial(model, variables, model_name: str, train_ds, test_ds, *,
                   % (epoch, sum(losses) / count, hits / count,
                      time.time() - t0))
 
-        # clean test
-        th, tc = 0, 0
+        # clean test — same log format as the standard trainer so
+        # parse_train_log / collect_evidence get a real balanced accuracy
+        # instead of NaN (VERDICT r4 weak #3)
+        from .trainer import balanced_accuracy
+        tl, tc = [], 0
+        te_true, te_pred = [], []
         for data, labels, valid in test_ds.batches(test_batch_size,
                                                    shuffle=False):
-            _, preds = eval_step(state.variables, jnp.asarray(data),
-                                 jnp.asarray(labels))
-            th += int((np.asarray(preds)[:valid] == labels[:valid]).sum())
+            loss, preds = eval_step(state.variables, jnp.asarray(data),
+                                    jnp.asarray(labels))
+            tl.append(float(loss) * valid)
+            te_true.append(labels[:valid])
+            te_pred.append(np.asarray(preds)[:valid])
             tc += valid
-        test_acc = th / tc
-        io.cprint("Test %d, test acc: %.6f" % (epoch, test_acc))
+        te_true = np.concatenate(te_true)
+        te_pred = np.concatenate(te_pred)
+        test_acc = float((te_true == te_pred).mean())
+        io.cprint("Test %d, loss: %.6f, test acc: %.6f, test avg acc: %.6f"
+                  % (epoch, sum(tl) / tc, test_acc,
+                     balanced_accuracy(te_true, te_pred)))
 
         # random-rotation robustness eval
         rh, rc = 0, 0
