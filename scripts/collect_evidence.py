@@ -38,6 +38,7 @@ def main():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--checkpoints_root", default="./checkpoints")
     p.add_argument("--samples", default=None)
+    p.add_argument("--num_points", type=int, default=None)
     p.add_argument("--num_samples", type=int, default=None)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--label", default="(unlabelled)")
@@ -53,6 +54,8 @@ def main():
     extra = {}
     if args.num_samples:
         extra["num_samples"] = args.num_samples
+    if args.num_points:
+        extra["num_points"] = args.num_points
     cfg = ExperimentConfig(model=args.model, dataset=args.dataset,
                            checkpoints_root=args.checkpoints_root,
                            seed=args.seed, **extra)

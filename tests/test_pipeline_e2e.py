@@ -338,3 +338,32 @@ def test_plot_interaction_cli_composite(cfg, workdir, monkeypatch):
     # plot_all_models writes the composite to <fig_root>_show/
     assert os.path.exists(
         fig_root + "_show/interaction_all/interaction_all.pdf")
+
+
+def test_collect_evidence_script(cfg, workdir, monkeypatch):
+    """scripts/collect_evidence.py (the chip-queue's per-stage evidence
+    commit) over the e2e tree: stage rates, table numbers, the dataset
+    distribution stamp, and honest interaction labels (num_samples /
+    pairs_per_cloud, not the round-4 'num_pairs' mislabel)."""
+    import json as _json
+    out = workdir + "/results_test/pointnet_synthetic.json"
+    _run_script("collect_evidence.py", [
+        "--model", cfg.model, "--synthetic",
+        "--checkpoints_root", cfg.checkpoints_root,
+        "--num_points", str(cfg.num_points),
+        "--num_samples", str(cfg.num_samples),
+        "--samples", "0,1", "--label", "pytest fixture", "--out", out,
+    ], monkeypatch)
+    ev = _json.load(open(out))
+    assert ev["model"] == cfg.model and ev["dataset"] == "modelnet10"
+    assert ev["dataset_version"]["synthetic_morph_alpha_max"] > 0
+    assert "trans" in ev["table2_sensitivity"]
+    assert "rotate" in ev["table3_correlation"]
+    assert ev["stage_rates_by_stage"].get("enum", 0) > 0
+    # the e2e tree has interactions only for samples 0,1, not the selected-10
+    # list, so the block must degrade to an explicit incomplete marker —
+    # and when complete it must use the new keys, never "num_pairs"
+    inter = ev["interactions"]
+    assert ("incomplete" in inter) or (
+        "num_samples" in inter and "pairs_per_cloud" in inter
+        and "num_pairs" not in inter)
