@@ -443,7 +443,12 @@ def _interaction_logits_one(engine, io, data, region_id, name,
             if range_rank != 1:
                 continue
             forwards += save_all_orders(data, region_folder + "normal/")
-        timer.items = forwards
+        # a fully-resumed rerun computes nothing: leave items unset so the
+        # appended StageTimer line carries no items_per_sec — a 0.0 rate
+        # would be averaged into the committed interaction rate by
+        # parse_stage_timers (same failure class as the ADVICE-r4 stale-line
+        # bug; this log appends because resume is per-(pose, ratio))
+        timer.items = forwards or None
 
 
 # ---------------------------------------------------------------------------

@@ -208,7 +208,7 @@ def fit_adversarial(model, variables, model_name: str, train_ds, test_ds, *,
         for data, labels, valid in test_ds.batches(test_batch_size,
                                                    shuffle=False):
             loss, preds = eval_step(state.variables, jnp.asarray(data),
-                                    jnp.asarray(labels))
+                                    jnp.asarray(labels), valid)
             tl.append(float(loss) * valid)
             te_true.append(labels[:valid])
             te_pred.append(np.asarray(preds)[:valid])

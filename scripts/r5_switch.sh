@@ -9,6 +9,10 @@ cd "$(dirname "$0")/.." || exit 1
 MAX_WAIT_MIN=${1:-360}
 log() { echo "[switch $(date +%H:%M:%S)] $*"; }
 
+# a marker left by any earlier run would fire the switch instantly and kill
+# part 1 mid-dgcnn — the boundary signal must be created by THIS round
+rm -f /tmp/r5_tables_pointconv.log
+
 for i in $(seq "$MAX_WAIT_MIN"); do
   [ -f /tmp/r5_tables_pointconv.log ] && break
   sleep 60

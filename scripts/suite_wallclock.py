@@ -14,18 +14,25 @@ Writes results/suite_wallclock.json (all families found).
 """
 import collections
 import glob
+import importlib.util
 import json
 import os
 import sys
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CKPT = "./checkpoints"
 MODELS = ["pointnet", "pointnet2", "pointconv", "dgcnn", "gcnn", "gcnn_adv"]
 
-# derived TITAN proxy (same envelope as bench.py: 16.3 TFLOP/s fp32 x 30%
-# util / XLA-counted GFLOP per masked forward)
-GFLOP = {"pointnet": 0.900, "pointnet2": 8.096, "pointconv": 2.480,
-         "dgcnn": 1.963, "gcnn": 1.331, "gcnn_adv": 1.331}
-TITAN_EFF = 16.3e12 * 0.30
+# the ONE proxy definition lives in bench.py (GFLOP table + TITAN envelope);
+# importing it keeps "measured" speedups here and "projected" speedups there
+# on the same denominator (code-review r5)
+os.environ["_IQ_BENCH_REEXEC"] = "1"    # skip bench.py's re-exec guard
+_spec = importlib.util.spec_from_file_location(
+    "bench", os.path.join(_REPO, "bench.py"))
+_bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_bench)
+GFLOP = _bench.GFLOP_PER_FORWARD
+TITAN_EFF = _bench._TITAN_EFF_FLOPS
 
 
 def family_wallclock(model: str, dataset: str = "modelnet10"):
@@ -42,7 +49,11 @@ def family_wallclock(model: str, dataset: str = "modelnet10"):
                     rec = json.loads(line)
                 except ValueError:
                     continue
-                if "seconds" in rec and "stage" in rec:
+                if ("seconds" in rec and "stage" in rec
+                        and not rec.get("aborted")):
+                    # aborted stages (profiling.py) spent chip time but their
+                    # work was recomputed by the rerun — counting both would
+                    # double the hours while adding zero forwards
                     k = rec["stage"].split(":")[0]
                     agg[k][0] += rec["seconds"]
                     agg[k][1] += rec["seconds"] * rec.get("items_per_sec", 0)
