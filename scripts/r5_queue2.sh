@@ -118,10 +118,32 @@ No-Verification-Needed: generated figure artifacts only"; } \
          bash scripts/tpu_probe.sh; return 1; }
 }
 
+do_inter_shapenet() {  # $1 = model : interactions over the ShapeNet fixture tree
+  local M=$1
+  [ -d "checkpoints/exp_MODEL_${M}_DATA_shapenet_POINTNUM_1024_REGIONNUM_32_shapley_test" ] || return 1
+  {
+    run_cli gen_pair --model "$M" --dataset shapenet \
+      && run_cli interaction_logits --model "$M" --dataset shapenet --resume \
+      && run_cli cal_interactions --model "$M" --dataset shapenet \
+      && { run_cli plot_interaction --model "$M" --dataset shapenet \
+             --plot_mode normal_vs_adv || true; }
+  } > "/tmp/r5_inter_${M}_sn.log" 2>&1 \
+    && { log "$M shapenet interactions done"; \
+         commit_evidence "$M" shapenet "interactions complete"; \
+         git add -f figures 2>/dev/null; git diff --cached --quiet \
+           || git commit -q -m "figures: $M ShapeNet interaction curves
+
+No-Verification-Needed: generated figure artifacts only"; } \
+    || { log "$M shapenet interactions FAILED"; \
+         commit_evidence "$M" shapenet "partial (interactions failed)"; }
+}
+
 # --------------------------------------------------------------- phases
 if [ "$PHASE" = all ] || [ "$PHASE" = inter ]; then
   log "==== phase D': gcnn interactions ===="
   do_inter gcnn
+  log "==== phase D'b: pointnet ShapeNet interactions (cheap, 2nd dataset column) ===="
+  do_inter_shapenet pointnet
 fi
 
 if [ "$PHASE" = all ] || [ "$PHASE" = tables ]; then
