@@ -140,10 +140,19 @@ No-Verification-Needed: generated figure artifacts only"; } \
 
 # --------------------------------------------------------------- phases
 if [ "$PHASE" = all ] || [ "$PHASE" = inter ]; then
-  log "==== phase D': gcnn interactions ===="
-  do_inter gcnn
   log "==== phase D'b: pointnet ShapeNet interactions (cheap, 2nd dataset column) ===="
   do_inter_shapenet pointnet
+  # gcnn interactions need ~2 h; a partial run yields no interaction cell
+  # (cal_interactions needs every ratio's logits).  Only start if the wrap
+  # deadline (~04:10) leaves room; otherwise fall through to pointconv,
+  # whose per-stage artifacts resume across rounds.
+  NOW_MIN=$((10#$(date +%H) * 60 + 10#$(date +%M)))
+  if [ "$NOW_MIN" -lt 140 ]; then    # start by 02:20 or not at all
+    log "==== phase D': gcnn interactions ===="
+    do_inter gcnn
+  else
+    log "==== phase D' SKIPPED: too little round left for a complete gcnn interaction cell (now=$NOW_MIN min) ===="
+  fi
 fi
 
 if [ "$PHASE" = all ] || [ "$PHASE" = tables ]; then
