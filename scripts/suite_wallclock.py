@@ -87,11 +87,13 @@ def main():
                     "— the reference publishes no measured throughput)."),
            "hardware": "TPU v5e-1 (axon tunnel), single chip",
            "families": {}}
-    for m in MODELS:
-        r = family_wallclock(m)
+    todo = [(m, "modelnet10", m) for m in MODELS]
+    todo.append(("pointnet", "shapenet", "pointnet_shapenet"))
+    for m, ds, key in todo:
+        r = family_wallclock(m, ds)
         if r:
-            out["families"][m] = r
-            print(f"{m:10s} measured {r['measured_total_hours']:6.3f} h "
+            out["families"][key] = r
+            print(f"{key:18s} measured {r['measured_total_hours']:6.3f} h "
                   f"({r['measured_total_forwards_millions']}M fwds) "
                   f"vs ref proxy {r['ref_proxy_hours_same_forwards']:6.3f} h "
                   f"-> {r['measured_speedup_vs_ref_proxy']}x")
